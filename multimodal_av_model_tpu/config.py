@@ -1,0 +1,206 @@
+"""Typed configuration tree for the whole framework.
+
+The reference has no config system — every knob is a hardcoded constant
+scattered across files (reference main.py:69-90,111,142,160; model/trainer.py:14,35-38;
+contrastive.py:4-6; utils/train_tokenizer.py:5).  Here they are collected into
+one dataclass tree whose *defaults equal the reference values*, with
+``from_flat_overrides`` providing dotted-path CLI overrides
+(e.g. ``train.batch_size=16``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Sequence
+
+
+@dataclass
+class AudioFrontendConfig:
+    """STFT → log-mel frontend (revives reference 이전 버전/train_ctc_korea.py:38-40)."""
+
+    sample_rate: int = 16000          # reference dataset/multi_speaker_dataset.py:15
+    n_fft: int = 400                  # torchaudio MelSpectrogram default (25 ms @ 16 kHz)
+    hop_length: int = 160             # 10 ms — 100 frames/sec
+    win_length: int = 400
+    n_mels: int = 80                  # reference 이전 버전/train_ctc_korea.py:39
+    f_min: float = 0.0
+    f_max: float | None = None        # None → sample_rate / 2
+    log_eps: float = 1e-6
+    center: bool = True               # torch.stft default used by torchaudio
+    power: float = 2.0
+
+
+@dataclass
+class AudioEncoderConfig:
+    """Log-mel Conformer replacing the reference's pretrained wav2vec2-large
+    (reference model/encoder.py:80-100).  Produces ~50 Hz frames like wav2vec2's
+    320x conv frontend, plus a mean of configurable middle layers mirroring the
+    reference's ``hidden_states[6:10]`` mean (model/encoder.py:94-99)."""
+
+    d_model: int = 512
+    num_layers: int = 12
+    num_heads: int = 8
+    ffn_dim: int = 2048
+    conv_kernel_size: int = 15
+    dropout: float = 0.1
+    subsample_factor: int = 2         # 100 Hz mel → 50 Hz encoder frames
+    middle_layers: tuple[int, ...] = (6, 7, 8, 9)  # reference model/encoder.py:97
+    output_dim: int = 1024            # matches wav2vec2-large hidden size surface
+    max_len: int = 2048
+
+
+@dataclass
+class VisualEncoderConfig:
+    """LRW-style lipreading trunk (reference model/encoder.py:57-75):
+    Conv3D(1→64, k(5,7,7), s(1,2,2)) + norm + PReLU + MaxPool3D(1,3,3)/(1,2,2)
+    then a per-frame ResNet-18 folded over time."""
+
+    frontend_channels: int = 64
+    resnet_layers: tuple[int, ...] = (2, 2, 2, 2)
+    resnet_channels: tuple[int, ...] = (64, 128, 256, 512)
+    norm: str = "batch"               # "batch" (reference parity) or "group" (stateless)
+    output_dim: int = 512             # reference model/encoder.py:67
+    image_size: int = 96              # reference dataset/multi_speaker_dataset.py:51
+
+
+@dataclass
+class FusionConfig:
+    """Cross-attention fusion (reference model/fusion_module.py:5-67): project
+    both modalities to ``fused_dim``, audio-queries-visual MHA (4 heads),
+    fusion projection, then a temporal model producing ``2*fused_dim``."""
+
+    fused_dim: int = 512              # reference main.py:111
+    num_heads: int = 4                # reference model/fusion_module.py:14
+    temporal_model: str = "bilstm"    # "bilstm" (reference parity) or "transformer"
+    temporal_layers: int = 2          # reference model/fusion_module.py:24
+    transformer_heads: int = 8
+    transformer_ffn_dim: int = 2048
+
+
+@dataclass
+class ContrastiveConfig:
+    """Masked InfoNCE-style contrastive loss (reference contrastive.py:4-6)."""
+
+    temperature: float = 0.07
+    weight_pos_align: float = 1.0
+    weight_neg_suppress: float = 0.3
+    projection_dim: int = 128         # reference model/trainer.py:106
+
+
+@dataclass
+class DecoderConfig:
+    input_dim: int = 1024             # reference main.py:115
+    vocab_size: int = 800             # assets/tokenizer800.vocab line count
+    blank_id: int = 3                 # verified runtime value (SURVEY.md §2 row 5)
+
+
+@dataclass
+class DecodeConfig:
+    beam_width: int = 5               # reference model/trainer.py:230
+
+
+@dataclass
+class ModelConfig:
+    frontend: AudioFrontendConfig = field(default_factory=AudioFrontendConfig)
+    audio: AudioEncoderConfig = field(default_factory=AudioEncoderConfig)
+    visual: VisualEncoderConfig = field(default_factory=VisualEncoderConfig)
+    fusion: FusionConfig = field(default_factory=FusionConfig)
+    contrastive: ContrastiveConfig = field(default_factory=ContrastiveConfig)
+    decoder: DecoderConfig = field(default_factory=DecoderConfig)
+    dtype: str = "bfloat16"           # activation dtype; params stay float32
+
+
+@dataclass
+class DataConfig:
+    json_folder: str = "input_texts"
+    npy_dir: str = "npy"
+    text_dir: str = "processed_dataset/text"
+    wav_dir: str = "input_wav/input_wav"
+    vocab_path: str = "assets/tokenizer800.vocab"
+    sample_rate: int = 16000
+    num_pairs_per_epoch: int = 10000  # reference main.py:80
+    eval_pairs: int = 500             # reference main.py:82-86
+    # Length-bucket boundaries in *video frames* (30 fps). All sequences are
+    # padded up to a bucket edge so XLA sees a small set of static shapes
+    # instead of one shape per batch (SURVEY.md §5 long-context row).
+    video_buckets: tuple[int, ...] = (64, 128, 256, 448)
+    audio_samples_per_video_frame: int = 534  # ceil(16000 / 30) rounded to even
+    max_label_len: int = 128
+    prefetch_depth: int = 2
+    seed: int = 42                    # reference main.py:67
+
+
+@dataclass
+class TrainConfig:
+    batch_size: int = 8               # reference main.py:88
+    eval_batch_size: int = 4          # reference main.py:89
+    learning_rate: float = 1e-4       # reference model/trainer.py:35
+    audio_learning_rate: float = 2e-5 # reference model/trainer.py:36
+    lambda_contrastive: float = 0.1   # reference model/trainer.py:14
+    max_epochs: int = 50              # reference main.py:160
+    early_stop_patience: int = 5      # reference main.py:142
+    freeze_visual_trunk: bool = False # reference main.py:100-103 behaviour, opt-in
+    grad_clip_norm: float | None = None
+    checkpoint_dir: str = "checkpoints"
+    log_every: int = 100              # reference model/trainer.py:125
+    keep_checkpoints: int = 3
+
+
+@dataclass
+class MeshConfig:
+    """Device-mesh layout for pjit sharding.  ``data`` is the batch axis
+    (gradient psum over ICI), ``model`` an optional tensor axis for wide
+    layers.  The reference is single-device (SURVEY.md §2c); parallelism here
+    is designed from scratch."""
+
+    data_axis: int = -1               # -1 → all devices on the data axis
+    model_axis: int = 1
+
+
+@dataclass
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    decode: DecodeConfig = field(default_factory=DecodeConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+
+
+def _set_dotted(obj: Any, path: str, raw: str) -> None:
+    parts = path.split(".")
+    for p in parts[:-1]:
+        obj = getattr(obj, p)
+    name = parts[-1]
+    if not hasattr(obj, name):
+        raise AttributeError(f"unknown config field: {path}")
+    current = getattr(obj, name)
+    value: Any
+    if isinstance(current, bool):
+        value = raw.lower() in ("1", "true", "yes", "on")
+    elif isinstance(current, int):
+        value = int(raw)
+    elif isinstance(current, float):
+        value = float(raw)
+    elif isinstance(current, tuple):
+        value = tuple(int(x) for x in raw.strip("()").split(",") if x)
+    elif current is None:
+        value = None if raw.lower() == "none" else float(raw)
+    else:
+        value = raw
+    setattr(obj, name, value)
+
+
+def from_flat_overrides(overrides: Sequence[str], base: Config | None = None) -> Config:
+    """Build a Config from ``key.path=value`` strings (the CLI surface)."""
+    cfg = base if base is not None else Config()
+    for item in overrides:
+        if "=" not in item:
+            raise ValueError(f"override must look like a.b.c=value, got {item!r}")
+        path, raw = item.split("=", 1)
+        _set_dotted(cfg, path.strip(), raw.strip())
+    return cfg
+
+
+def to_dict(cfg: Any) -> dict:
+    return dataclasses.asdict(cfg)

@@ -1,0 +1,110 @@
+"""Visual (lipreading) encoder: 3D conv frontend + per-frame ResNet-18.
+
+Capability-equivalent of the reference LRW-style trunk
+(reference model/encoder.py:57-75):
+
+* frontend: Conv3D 1→64, kernel (5,7,7), stride (1,2,2), same-pad, norm,
+  PReLU, MaxPool3D window (1,3,3) stride (1,2,2) — temporal stride 1, so the
+  output frame count equals the input frame count;
+* trunk: ResNet-18 (BasicBlock ×[2,2,2,2], channels 64→512) applied per
+  frame by folding time into batch, global average pool → ``[B, T, 512]``.
+
+TPU-first differences: channels-last ``[B, T, H, W, 1]`` layout (XLA's conv
+layout — no NCTHW transposes), one big folded ``[B·T, H, W, C]`` batch for the
+2D trunk so the MXU sees large convolutions, and a stateless GroupNorm option
+for tiny per-device batches (``VisualEncoderConfig.norm``).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..config import VisualEncoderConfig
+from .layers import Dtype, PReLU, make_norm
+
+
+class BasicBlock(nn.Module):
+    """ResNet BasicBlock with PReLU (reference model/encoder.py:6-22)."""
+
+    features: int
+    stride: int = 1
+    norm: str = "batch"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        identity = x
+        h = nn.Conv(self.features, (3, 3), (self.stride, self.stride), padding=1,
+                    use_bias=False, dtype=self.dtype)(x)
+        h = make_norm(self.norm, self.dtype, use_running_average=not train)(h)
+        h = PReLU(dtype=self.dtype)(h)
+        h = nn.Conv(self.features, (3, 3), padding=1, use_bias=False, dtype=self.dtype)(h)
+        h = make_norm(self.norm, self.dtype, use_running_average=not train)(h)
+        if self.stride != 1 or x.shape[-1] != self.features:
+            identity = nn.Conv(self.features, (1, 1), (self.stride, self.stride),
+                               use_bias=False, dtype=self.dtype)(x)
+            identity = make_norm(self.norm, self.dtype, use_running_average=not train)(identity)
+        return PReLU(dtype=self.dtype)(h + identity)
+
+
+class ResNetTrunk(nn.Module):
+    """Per-frame ResNet-18 trunk (reference model/encoder.py:24-53)."""
+
+    layers: tuple[int, ...] = (2, 2, 2, 2)
+    channels: tuple[int, ...] = (64, 128, 256, 512)
+    norm: str = "batch"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for stage, (blocks, feats) in enumerate(zip(self.layers, self.channels)):
+            for b in range(blocks):
+                stride = 2 if (stage > 0 and b == 0) else 1
+                x = BasicBlock(feats, stride, self.norm, self.dtype,
+                               name=f"layer{stage + 1}_{b}")(x, train)
+        return x.mean(axis=(1, 2))                  # adaptive avg-pool to 1×1
+
+
+class VisualEncoder(nn.Module):
+    """``[B, T, H, W, 1] → [B, T, output_dim]`` lip-clip encoder."""
+
+    config: VisualEncoderConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, lips, train: bool = False):
+        cfg = self.config
+        B, T, H, W, C = lips.shape
+        x = lips.astype(self.dtype)
+
+        # Frontend3D (reference model/encoder.py:60-65), channels-last.
+        x = nn.Conv(
+            cfg.frontend_channels,
+            kernel_size=(5, 7, 7),
+            strides=(1, 2, 2),
+            padding=((2, 2), (3, 3), (3, 3)),
+            use_bias=False,
+            dtype=self.dtype,
+            name="frontend_conv",
+        )(x)
+        x = make_norm(cfg.norm, self.dtype, use_running_average=not train)(x)
+        x = PReLU(dtype=self.dtype)(x)
+        x = nn.max_pool(
+            x,
+            window_shape=(1, 3, 3),
+            strides=(1, 2, 2),
+            padding=((0, 0), (1, 1), (1, 1)),
+        )
+
+        # Fold time into batch; the 2D trunk sees one large [B·T, h, w, C]
+        # batch — exactly the MXU-friendly shape (reference folds the same
+        # way, model/encoder.py:71-74).
+        _, _, h, w, c = x.shape
+        x = x.reshape(B * T, h, w, c)
+        x = ResNetTrunk(cfg.resnet_layers, cfg.resnet_channels, cfg.norm, self.dtype,
+                        name="trunk")(x, train)
+        x = x.reshape(B, T, cfg.resnet_channels[-1])
+        if cfg.resnet_channels[-1] != cfg.output_dim:
+            x = nn.Dense(cfg.output_dim, dtype=self.dtype)(x)
+        return x

@@ -1,0 +1,59 @@
+"""Word/character error-rate metrics (pure Python/NumPy).
+
+Replaces the reference's jiwer dependency (RapidFuzz C++,
+reference model/trainer.py:4,246-249).  ``wer`` is corpus-aggregated like
+``jiwer.wer(refs, hyps)``: total edit distance over total reference words.
+``cer`` is the Korean-appropriate headline metric the reference lacks
+(SURVEY.md §5 metrics row): character-level, with whitespace runs collapsed
+so spacing conventions don't dominate the score.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+
+def levenshtein(a: Sequence, b: Sequence) -> int:
+    """Edit distance between two token sequences (O(len(a)·len(b)), two rows)."""
+    if len(a) < len(b):
+        a, b = b, a
+    if not b:
+        return len(a)
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i] + [0] * len(b)
+        for j, cb in enumerate(b, 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+        prev = cur
+    return prev[-1]
+
+
+def _corpus_rate(ref_seqs: list, hyp_seqs: list) -> float:
+    total_dist = sum(levenshtein(r, h) for r, h in zip(ref_seqs, hyp_seqs))
+    total_len = sum(len(r) for r in ref_seqs)
+    if total_len == 0:
+        return 0.0 if total_dist == 0 else float("inf")
+    return total_dist / total_len
+
+
+def wer(references: Sequence[str] | str, hypotheses: Sequence[str] | str) -> float:
+    """Corpus word error rate over whitespace-split words (jiwer semantics)."""
+    if isinstance(references, str):
+        references, hypotheses = [references], [hypotheses]  # type: ignore[list-item]
+    return _corpus_rate([r.split() for r in references], [h.split() for h in hypotheses])
+
+
+def cer(
+    references: Sequence[str] | str,
+    hypotheses: Sequence[str] | str,
+    remove_spaces: bool = False,
+) -> float:
+    """Corpus character error rate; whitespace runs collapse to one space."""
+    if isinstance(references, str):
+        references, hypotheses = [references], [hypotheses]  # type: ignore[list-item]
+
+    def norm(s: str) -> str:
+        s = " ".join(s.split())
+        return s.replace(" ", "") if remove_spaces else s
+
+    return _corpus_rate([list(norm(r)) for r in references], [list(norm(h)) for h in hypotheses])
