@@ -39,11 +39,20 @@ def _resize_bilinear_np(images: np.ndarray, out_h: int, out_w: int) -> np.ndarra
 
 def preprocess_lip_clip_host(lip: np.ndarray, out_size: int = 96) -> np.ndarray:
     """``[T, H, W, C] uint8`` → ``[T, 1, out, out] float32`` (grayscale mean,
-    resize, /255) — host mirror of reference dataset/multi_speaker_dataset.py:49-59."""
+    resize, /255) — host mirror of reference dataset/multi_speaker_dataset.py:49-59.
+    Uses the native resize kernel (runtime/hostops.cpp) when available."""
     lip = np.asarray(lip, np.float32)
     if lip.ndim == 4:
         lip = lip.mean(axis=-1)
-    resized = _resize_bilinear_np(lip, out_size, out_size)
+    try:
+        from ..runtime import native
+
+        if native.have_native():
+            resized = native.resize_bilinear(lip, out_size, out_size)
+        else:
+            resized = _resize_bilinear_np(lip, out_size, out_size)
+    except ImportError:
+        resized = _resize_bilinear_np(lip, out_size, out_size)
     return (resized / 255.0).astype(np.float32)[:, None, :, :]
 
 

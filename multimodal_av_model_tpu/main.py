@@ -1,0 +1,149 @@
+"""Train/eval entry point — the ``python main.py`` surface of the reference
+(reference main.py:66-203), re-built on the TPU-native stack.
+
+Pipeline: tokenizer → manifest → 90/5/5 split → pair samplers → bucketed
+prefetched batches → flagship ``MultiSpeakerAVModel`` → jitted train/eval
+loop with rolling checkpoints and early stopping.
+
+Differences from the reference surface (all documented in SURVEY.md §7):
+* configuration is a typed tree with ``key.path=value`` CLI overrides instead
+  of hardcoded constants (including the reference's Colab paths);
+* ``--synthetic`` trains on generated data — the bundled corpus ships
+  metadata JSON only (SURVEY.md §6), so this is the runnable-out-of-the-box
+  mode;
+* resume restores the full pytree (params + optimizer + epoch); the
+  reference silently skipped the audio encoder and optimizer
+  (reference main.py:57-64).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+
+def build_data(cfg, tokenizer, synthetic: bool):
+    from .data import (
+        FilePairSource,
+        FixedPairSampler,
+        RandomPairSampler,
+        SyntheticPairSource,
+        generate_fixed_pairs,
+    )
+    from .data.collate import make_bucket_specs
+    from .data.manifest import build_data_list, train_val_test_split
+    from .data.pipeline import PrefetchingLoader, bucketed_batches
+
+    specs = make_bucket_specs(
+        cfg.data.video_buckets, cfg.data.audio_samples_per_video_frame,
+        cfg.data.max_label_len,
+    )
+
+    if synthetic:
+        src = SyntheticPairSource(tokenizer, seed=cfg.data.seed)
+        def train_factory():
+            it = (src.load_pair() for _ in range(cfg.data.num_pairs_per_epoch))
+            return PrefetchingLoader(
+                lambda: bucketed_batches(it, specs, cfg.train.batch_size),
+                depth=cfg.data.prefetch_depth,
+            )
+        val_src = SyntheticPairSource(tokenizer, seed=cfg.data.seed + 1)
+        def val_factory():
+            it = (val_src.load_pair() for _ in range(cfg.data.eval_pairs))
+            return PrefetchingLoader(
+                lambda: bucketed_batches(it, specs, cfg.train.eval_batch_size),
+                depth=cfg.data.prefetch_depth,
+            )
+        return train_factory, val_factory
+
+    entries, skipped = build_data_list(
+        cfg.data.json_folder, cfg.data.npy_dir, cfg.data.text_dir, cfg.data.wav_dir
+    )
+    if skipped:
+        print(f"manifest: skipped {len(skipped)} sentences with missing artifacts")
+    if len(entries) < 2:
+        raise SystemExit(
+            "no usable data found (the bundled corpus is metadata-only); "
+            "run with --synthetic or point data.* config at a prepared dataset"
+        )
+    train_set, val_set, _test_set = train_val_test_split(entries, seed=cfg.data.seed)
+    source = FilePairSource(tokenizer, cfg.data.sample_rate)
+    train_sampler = RandomPairSampler(
+        train_set, source.load_pair, cfg.data.num_pairs_per_epoch, seed=cfg.data.seed
+    )
+    val_pairs = generate_fixed_pairs(val_set, cfg.data.eval_pairs, seed=cfg.data.seed)
+    val_sampler = FixedPairSampler(val_pairs, source.load_pair)
+
+    def train_factory():
+        return PrefetchingLoader(
+            lambda: bucketed_batches(iter(train_sampler), specs, cfg.train.batch_size),
+            depth=cfg.data.prefetch_depth,
+        )
+
+    def val_factory():
+        return PrefetchingLoader(
+            lambda: bucketed_batches(iter(val_sampler), specs, cfg.train.eval_batch_size),
+            depth=cfg.data.prefetch_depth,
+        )
+
+    return train_factory, val_factory
+
+
+def main(argv: list[str] | None = None) -> None:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    synthetic = "--synthetic" in argv
+    argv = [a for a in argv if a != "--synthetic"]
+
+    from .config import from_flat_overrides
+    from .models import MultiSpeakerAVModel
+    from .text import CharTokenizer
+    from .train import MultiSpeakerTrainer
+    from .train.checkpoints import CheckpointManager
+
+    cfg = from_flat_overrides(argv)
+    np.random.seed(cfg.data.seed)
+
+    vocab = cfg.data.vocab_path
+    if not os.path.exists(vocab):
+        vocab = os.path.join(os.path.dirname(__file__), "..", "assets", "tokenizer800.vocab")
+    tokenizer = CharTokenizer(vocab)
+    cfg.model.decoder.vocab_size = tokenizer.vocab_size
+
+    train_factory, val_factory = build_data(cfg, tokenizer, synthetic)
+
+    import jax
+
+    dtype = {"bfloat16": jax.numpy.bfloat16, "float32": jax.numpy.float32}[cfg.model.dtype]
+    model = MultiSpeakerAVModel(cfg.model, dtype=dtype)
+    frozen = ("visual_encoder",) if cfg.train.freeze_visual_trunk else ()
+
+    mesh = None
+    if len(jax.devices()) > 1:
+        from .parallel import make_mesh
+
+        mesh = make_mesh()
+        print(f"mesh: {mesh}")
+
+    trainer = MultiSpeakerTrainer(cfg, model, tokenizer, frozen_prefixes=frozen, mesh=mesh)
+
+    first_batch = next(iter(train_factory()))
+    state = trainer.init_state(cfg.data.seed, first_batch)
+
+    ckpts = CheckpointManager(cfg.train.checkpoint_dir)
+    # Template-restore keeps optax/flax pytree structure intact.
+    resumed = ckpts.try_resume(template={"state": jax.device_get(state), "epoch": 0})
+    start_epoch = 1
+    if resumed is not None:
+        start_epoch = int(resumed["epoch"]) + 1
+        print(f"resuming from {ckpts.last} at epoch {start_epoch}")
+        # Template restore returned a structured TrainState; keep the fresh
+        # state's live rng but adopt everything else.
+        state = resumed["state"].replace(rng=state.rng)
+
+    trainer.fit(state, train_factory, val_factory, start_epoch=start_epoch)
+
+
+if __name__ == "__main__":
+    main()

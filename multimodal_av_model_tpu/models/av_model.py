@@ -1,0 +1,119 @@
+"""Model assemblies: the flagship multi-speaker AV-CTC model plus the
+single-modality configs from BASELINE.json (audio-only, video-only).
+
+The flagship mirrors the reference's four-module assembly
+(reference main.py:92-129: VisualEncoder + AudioEncoder +
+CrossAttentionFusion + CTCDecoder + a shared contrastive projection,
+model/trainer.py:105-106) as ONE flax module so the whole two-speaker forward
+is a single jit/pjit region: visual encoder applied to both lip streams,
+audio encoder applied twice to the same mixture with per-speaker masks
+(reference model/trainer.py:88-95), fusion + decode per speaker.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..config import ModelConfig
+from .audio import AudioEncoder
+from .decoder import CTCDecoder
+from .fusion import CrossAttentionFusion
+from .layers import Dtype
+from .visual import VisualEncoder
+
+
+def nchw_clip_to_channels_last(lips):
+    """Collate layout ``[B, T, 1, H, W]`` (reference dataset layout) →
+    channels-last ``[B, T, H, W, 1]`` for TPU convs."""
+    return jnp.transpose(lips, (0, 1, 3, 4, 2))
+
+
+def downsample_mask_to(mask, T_enc: int):
+    """Sample-rate speaker mask → encoder frame rate, nearest
+    (reference model/trainer.py:98-103).  Integer index math is exact."""
+    S = mask.shape[-1]
+    idx = jnp.clip((jnp.arange(T_enc) * S) // T_enc, 0, S - 1)
+    return jnp.take(mask, idx, axis=-1)
+
+
+class MultiSpeakerAVModel(nn.Module):
+    """Two-speaker audio-visual CTC model with contrastive feature taps."""
+
+    config: ModelConfig
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        cfg = self.config
+        self.visual_encoder = VisualEncoder(cfg.visual, self.dtype)
+        self.audio_encoder = AudioEncoder(cfg.audio, cfg.frontend, self.dtype)
+        self.fusion = CrossAttentionFusion(cfg.fusion, self.dtype)
+        self.decoder = CTCDecoder(cfg.decoder, self.dtype)
+        # Shared contrastive projection (reference model/trainer.py:105-106).
+        self.contrastive_proj = nn.Dense(cfg.contrastive.projection_dim, dtype=jnp.float32)
+
+    def _speaker_branch(self, visual_feat, audio, mask, lip_len, train):
+        last, middle, _ = self.audio_encoder(
+            audio, sample_mask=(mask != 3), deterministic=not train
+        )
+        T_enc = last.shape[1]
+        mask_ds = downsample_mask_to(mask, T_enc)
+        contrast_feat = self.contrastive_proj(middle.astype(jnp.float32))
+        fused, input_lengths = self.fusion(
+            visual_feat, last, mask_ds, visual_lengths=lip_len,
+            deterministic=not train,
+        )
+        log_probs = self.decoder(fused)
+        return log_probs, input_lengths, contrast_feat, mask_ds
+
+    def __call__(self, lip1, lip2, audio, mask1, mask2,
+                 lip1_len=None, lip2_len=None, train: bool = False):
+        """Args use the reference batch-dict layouts (dataset/collate_fn.py:46-63):
+        lips ``[B, T, 1, H, W]``, audio ``[B, S]``, masks ``[B, S]``.
+
+        Returns a dict of per-speaker outputs:
+        ``log_probs{1,2} [B, T_v, V]``, ``input_lengths{1,2} [B]``,
+        ``contrast{1,2} [B, T_enc, P]``, ``mask_ds{1,2} [B, T_enc]``.
+        """
+        v1 = self.visual_encoder(nchw_clip_to_channels_last(lip1), train)
+        v2 = self.visual_encoder(nchw_clip_to_channels_last(lip2), train)
+
+        lp1, il1, c1, md1 = self._speaker_branch(v1, audio, mask1, lip1_len, train)
+        lp2, il2, c2, md2 = self._speaker_branch(v2, audio, mask2, lip2_len, train)
+        return {
+            "log_probs1": lp1, "input_lengths1": il1, "contrast1": c1, "mask_ds1": md1,
+            "log_probs2": lp2, "input_lengths2": il2, "contrast2": c2, "mask_ds2": md2,
+        }
+
+
+class AudioOnlyCTC(nn.Module):
+    """BASELINE config 1: log-mel → Conformer → CTC head (CPU-runnable slice)."""
+
+    config: ModelConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, audio, sample_mask=None, train: bool = False):
+        last, _, frame_valid = AudioEncoder(
+            self.config.audio, self.config.frontend, self.dtype, name="audio_encoder"
+        )(audio, sample_mask, deterministic=not train)
+        log_probs = CTCDecoder(self.config.decoder, self.dtype, name="decoder")(last)
+        input_lengths = frame_valid.sum(axis=1).astype(jnp.int32)
+        return log_probs, input_lengths
+
+
+class VisualOnlyCTC(nn.Module):
+    """BASELINE config 2: lip ROI frames → visual encoder → CTC head."""
+
+    config: ModelConfig
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, lips, lip_lengths=None, train: bool = False):
+        feat = VisualEncoder(self.config.visual, self.dtype, name="visual_encoder")(
+            nchw_clip_to_channels_last(lips), train
+        )
+        log_probs = CTCDecoder(self.config.decoder, self.dtype, name="decoder")(feat)
+        if lip_lengths is None:
+            lip_lengths = jnp.full((lips.shape[0],), lips.shape[1], jnp.int32)
+        return log_probs, lip_lengths

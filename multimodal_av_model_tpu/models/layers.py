@@ -45,7 +45,18 @@ def make_norm(kind: str, dtype: Dtype, use_running_average: bool | None = None):
             dtype=dtype,
         )
     if kind == "group":
-        return nn.GroupNorm(num_groups=None, group_size=16, dtype=dtype)
+        # Group size adapts at call time via a thin wrapper so tiny test
+        # configs (8-channel stages) still norm correctly.
+        class _AdaptiveGroupNorm(nn.Module):
+            dtype_: Dtype
+
+            @nn.compact
+            def __call__(self, x):
+                c = x.shape[-1]
+                gs = 16 if c % 16 == 0 else (8 if c % 8 == 0 else (4 if c % 4 == 0 else 1))
+                return nn.GroupNorm(num_groups=None, group_size=gs, dtype=self.dtype_)(x)
+
+        return _AdaptiveGroupNorm(dtype_=dtype)
     raise ValueError(f"unknown norm kind {kind!r}")
 
 

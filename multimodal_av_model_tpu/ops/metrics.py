@@ -13,8 +13,8 @@ from __future__ import annotations
 from typing import Sequence
 
 
-def levenshtein(a: Sequence, b: Sequence) -> int:
-    """Edit distance between two token sequences (O(len(a)·len(b)), two rows)."""
+def levenshtein_py(a: Sequence, b: Sequence) -> int:
+    """Pure-Python edit distance (O(len(a)·len(b)), two rows)."""
     if len(a) < len(b):
         a, b = b, a
     if not b:
@@ -26,6 +26,21 @@ def levenshtein(a: Sequence, b: Sequence) -> int:
             cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
         prev = cur
     return prev[-1]
+
+
+def levenshtein(a: Sequence, b: Sequence) -> int:
+    """Edit distance; dispatches to the native C++ kernel (runtime/hostops.cpp)
+    when available, mapping arbitrary hashable tokens to int codes first."""
+    try:
+        from ..runtime import native
+    except ImportError:
+        return levenshtein_py(a, b)
+    if not native.have_native():
+        return levenshtein_py(a, b)
+    codes: dict = {}
+    enc = [codes.setdefault(t, len(codes)) for t in a]
+    enc_b = [codes.setdefault(t, len(codes)) for t in b]
+    return native.levenshtein(enc, enc_b)
 
 
 def _corpus_rate(ref_seqs: list, hyp_seqs: list) -> float:

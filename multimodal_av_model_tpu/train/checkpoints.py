@@ -1,0 +1,112 @@
+"""Checkpointing with the reference's rolling policy (flax msgpack backend).
+
+Reference policy (main.py:134-136,177-192): three rolling checkpoints —
+``last`` every epoch, ``best_wer`` on WER improvement, ``best_loss`` on eval
+loss improvement; resume restores ``last`` and continues at epoch+1
+(main.py:146-151).  Here the checkpoint is a single pytree (params +
+opt_state + batch_stats + step/epoch + PRNG key), and *partial restore*
+reproduces the reference's load-visual-encoder-only behaviour
+(main.py:57-64,94-103) by grafting a sub-pytree.
+
+Backend: ``flax.serialization`` msgpack — one atomic file write per
+checkpoint.  (Orbax's ocdbt writer was measured at 4+ minutes for a tiny
+tree on this host's single CPU core; msgpack writes the same tree in
+milliseconds and restores *into a template*, preserving flax dataclass and
+optax NamedTuple structure, which a structure-free restore loses.)
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from typing import Any
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def save_checkpoint(path: str, tree: Any) -> None:
+    """Atomic single-file checkpoint write (``path`` is a file)."""
+    path = os.path.abspath(path)
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    tree = jax.tree.map(np.asarray, jax.device_get(tree))
+    data = serialization.to_bytes(tree)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), prefix=".ckpt-")
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
+def restore_checkpoint(path: str, template: Any = None) -> Any:
+    """Restore a checkpoint file.
+
+    With ``template``, the restored tree keeps the template's pytree
+    structure (flax dataclasses, optax NamedTuples) — required before the
+    result can feed ``optimizer.update``.  Without it, returns plain nested
+    dicts/lists (fine for inspection or grafting).
+    """
+    with open(path, "rb") as f:
+        data = f.read()
+    if template is not None:
+        return serialization.from_bytes(template, data)
+    return serialization.msgpack_restore(data)
+
+
+def checkpoint_exists(path: str) -> bool:
+    return os.path.isfile(path)
+
+
+def graft_subtree(target: dict, source: dict, keys: list[str]) -> dict:
+    """Return ``target`` with ``target[k] ← source[k]`` for each dotted key
+    path in ``keys`` — the partial-restore used to load a pretrained visual
+    encoder into a fresh model (reference main.py:94-103)."""
+    import copy
+
+    out = copy.deepcopy(target)
+    for dotted in keys:
+        parts = dotted.split(".")
+        t, s = out, source
+        for p in parts[:-1]:
+            t = t[p]
+            s = s[p]
+        if parts[-1] not in t:
+            raise KeyError(f"target has no {dotted}")
+        t[parts[-1]] = s[parts[-1]]
+    return out
+
+
+class CheckpointManager:
+    """last / best-WER / best-loss rolling checkpoints + resume."""
+
+    def __init__(self, directory: str):
+        self.dir = directory
+        os.makedirs(directory, exist_ok=True)
+        self.last = os.path.join(directory, "last.ckpt")
+        self.best_wer = os.path.join(directory, "best_wer.ckpt")
+        self.best_loss = os.path.join(directory, "best_loss.ckpt")
+        self._best_wer = float("inf")
+        self._best_loss = float("inf")
+
+    def on_epoch_end(self, tree: Any, eval_loss: float, eval_wer: float) -> dict:
+        save_checkpoint(self.last, tree)
+        saved = {"last": True, "best_wer": False, "best_loss": False}
+        if eval_wer < self._best_wer:
+            self._best_wer = eval_wer
+            save_checkpoint(self.best_wer, tree)
+            saved["best_wer"] = True
+        if eval_loss < self._best_loss:
+            self._best_loss = eval_loss
+            save_checkpoint(self.best_loss, tree)
+            saved["best_loss"] = True
+        return saved
+
+    def try_resume(self, template: Any = None) -> Any | None:
+        if checkpoint_exists(self.last):
+            return restore_checkpoint(self.last, template)
+        return None

@@ -1,0 +1,337 @@
+"""Training runtime: one jitted train step for the full two-speaker model.
+
+Replaces the reference's imperative epoch loop (reference model/trainer.py:50-177)
+with a functional, compiled step:
+
+* total loss = (ctc1 + ctc2)/2 + λ·(contrast1 + contrast2)/2 with λ = 0.1
+  (reference model/trainer.py:14,119);
+* per-group Adam — base lr 1e-4, audio encoder 2e-5
+  (reference model/trainer.py:34-39) — via ``optax.multi_transform`` over
+  param-path labels, with optional frozen subtrees reproducing the
+  reference's visual-trunk freeze (main.py:100-106) as ``set_to_zero``;
+* bf16 activations need no GradScaler (the reference's CUDA-AMP machinery,
+  trainer.py:40,121-123, has no TPU analogue: bf16 has fp32-range exponent);
+* under a ``Mesh`` the same step is pjit-sharded: batch over the ``data``
+  axis, params replicated; XLA inserts the gradient ``psum`` over ICI.
+
+Eval mirrors reference ``evaluate`` (trainer.py:179-252) minus its
+double-log-softmax quirk (SURVEY.md §7): loss + on-device beam search decode,
+WER/CER computed on host from decoded ids.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+from flax.traverse_util import flatten_dict, unflatten_dict
+
+from ..config import Config
+from ..ops.beam_search import beam_search_decode
+from ..ops.contrastive import contrastive_loss_with_mask
+from ..ops.ctc import ctc_greedy_decode, ctc_loss
+from ..ops.metrics import cer, wer
+from .checkpoints import CheckpointManager
+from .logging_utils import CsvLogger, StepTimer
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    rng: jnp.ndarray
+
+
+def label_params(params: dict, frozen_prefixes: tuple[str, ...] = ()) -> dict:
+    """Path-label each param leaf: 'audio' for the audio encoder (low LR),
+    'frozen' for frozen subtrees, 'base' otherwise."""
+    flat = flatten_dict(params)
+    labels = {}
+    for path in flat:
+        joined = "/".join(str(p) for p in path)
+        if any(joined.startswith(p) for p in frozen_prefixes):
+            labels[path] = "frozen"
+        elif "audio_encoder" in path[:2]:
+            labels[path] = "audio"
+        else:
+            labels[path] = "base"
+    return unflatten_dict(labels)
+
+
+def make_optimizer(cfg: Config, params: dict, frozen_prefixes: tuple[str, ...] = ()):
+    tcfg = cfg.train
+    def adam(lr):
+        chain = []
+        if tcfg.grad_clip_norm:
+            chain.append(optax.clip_by_global_norm(tcfg.grad_clip_norm))
+        chain.append(optax.adam(lr))
+        return optax.chain(*chain)
+
+    labels = label_params(params, frozen_prefixes)
+    return optax.multi_transform(
+        {"base": adam(tcfg.learning_rate), "audio": adam(tcfg.audio_learning_rate),
+         "frozen": optax.set_to_zero()},
+        labels,
+    )
+
+
+@dataclasses.dataclass
+class MultiSpeakerTrainer:
+    """Owns the jitted steps + host orchestration for the flagship model."""
+
+    config: Config
+    model: Any                      # MultiSpeakerAVModel
+    tokenizer: Any
+    frozen_prefixes: tuple[str, ...] = ()
+    mesh: Any = None                # optional jax.sharding.Mesh
+
+    def __post_init__(self):
+        self._tx = None
+        self._train_step = None
+        self._eval_step = None
+
+    # -- state ---------------------------------------------------------------
+
+    def init_state(self, rng, batch: dict) -> TrainState:
+        init_rng, state_rng = jax.random.split(jax.random.PRNGKey(rng) if isinstance(rng, int) else rng)
+        # jit the init: eager init dispatches hundreds of tiny ops one by one,
+        # which is pathological on remote/tunneled devices.
+        variables = jax.jit(self.model.init)(
+            init_rng,
+            jnp.asarray(batch["lip1"]), jnp.asarray(batch["lip2"]),
+            jnp.asarray(batch["audio"]),
+            jnp.asarray(batch["mask1"]), jnp.asarray(batch["mask2"]),
+            jnp.asarray(batch["lip1_lengths"]), jnp.asarray(batch["lip2_lengths"]),
+        )
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", {})
+        self._tx = make_optimizer(self.config, params, self.frozen_prefixes)
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=self._tx.init(params),
+            rng=state_rng,
+        )
+
+    # -- loss ----------------------------------------------------------------
+
+    def _losses(self, params, batch_stats, batch, rng, train: bool):
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
+        kwargs = dict(train=train)
+        apply_kw = {}
+        if train:
+            apply_kw = dict(mutable=["batch_stats"] if batch_stats else [],
+                            rngs={"dropout": rng})
+        result = self.model.apply(
+            variables,
+            batch["lip1"], batch["lip2"], batch["audio"],
+            batch["mask1"], batch["mask2"],
+            batch["lip1_lengths"], batch["lip2_lengths"],
+            **kwargs, **apply_kw,
+        )
+        out, new_stats = (result if train else (result, {}))
+        if train and batch_stats:
+            new_stats = new_stats["batch_stats"]
+        ccfg = self.config.model.contrastive
+        blank = self.config.model.decoder.blank_id
+        ctc1 = ctc_loss(out["log_probs1"], batch["text1"], out["input_lengths1"],
+                        batch["text1_lengths"], blank)
+        ctc2 = ctc_loss(out["log_probs2"], batch["text2"], out["input_lengths2"],
+                        batch["text2_lengths"], blank)
+        con1 = contrastive_loss_with_mask(out["contrast1"], out["mask_ds1"],
+                                          ccfg.temperature, ccfg.weight_pos_align,
+                                          ccfg.weight_neg_suppress)
+        con2 = contrastive_loss_with_mask(out["contrast2"], out["mask_ds2"],
+                                          ccfg.temperature, ccfg.weight_pos_align,
+                                          ccfg.weight_neg_suppress)
+        lam = self.config.train.lambda_contrastive
+        total = (ctc1 + ctc2) / 2 + lam * (con1 + con2) / 2
+        metrics = {"loss": total, "ctc1": ctc1, "ctc2": ctc2,
+                   "contrast1": con1, "contrast2": con2}
+        return total, (metrics, new_stats, out)
+
+    # -- steps ---------------------------------------------------------------
+
+    def _build_train_step(self):
+        def train_step(state: TrainState, batch: dict):
+            rng, step_rng = jax.random.split(state.rng)
+
+            def loss_fn(params):
+                return self._losses(params, state.batch_stats, batch, step_rng, True)
+
+            (_, (metrics, new_stats, _)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True
+            )(state.params)
+            updates, new_opt = self._tx.update(grads, state.opt_state, state.params)
+            new_params = optax.apply_updates(state.params, updates)
+            metrics["grad_norm"] = optax.global_norm(grads)
+            return (
+                state.replace(step=state.step + 1, params=new_params,
+                              batch_stats=new_stats, opt_state=new_opt, rng=rng),
+                metrics,
+            )
+
+        return jax.jit(train_step, donate_argnums=(0,))
+
+    def _build_eval_step(self):
+        def eval_step(state: TrainState, batch: dict):
+            _, (metrics, _, out) = self._losses(
+                state.params, state.batch_stats, batch, state.rng, False
+            )
+            blank = self.config.model.decoder.blank_id
+            g1, g1_len = ctc_greedy_decode(out["log_probs1"], out["input_lengths1"], blank)
+            g2, g2_len = ctc_greedy_decode(out["log_probs2"], out["input_lengths2"], blank)
+            return metrics, {
+                "log_probs1": out["log_probs1"], "input_lengths1": out["input_lengths1"],
+                "log_probs2": out["log_probs2"], "input_lengths2": out["input_lengths2"],
+                "greedy1": g1, "greedy1_len": g1_len,
+                "greedy2": g2, "greedy2_len": g2_len,
+            }
+
+        return jax.jit(eval_step)
+
+    @property
+    def train_step(self):
+        if self._train_step is None:
+            self._train_step = self._build_train_step()
+        return self._train_step
+
+    @property
+    def eval_step(self):
+        if self._eval_step is None:
+            self._eval_step = self._build_eval_step()
+        return self._eval_step
+
+    # -- host orchestration ----------------------------------------------------
+
+    def _place(self, batch: dict) -> dict:
+        batch = {k: v for k, v in batch.items() if k != "num_real"}
+        if self.mesh is not None:
+            from ..parallel import shard_batch
+
+            return shard_batch(self.mesh, batch)
+        return batch
+
+    def train_epoch(self, batches: Iterable[dict], log_every: int | None = None,
+                    log_fn: Callable[[str], None] = print, state: TrainState | None = None):
+        assert state is not None
+        log_every = log_every or self.config.train.log_every
+        timer = StepTimer()
+        total, n = 0.0, 0
+        sr = self.config.data.sample_rate
+        for i, batch in enumerate(batches):
+            placed = self._place(batch)
+            state, metrics = self.train_step(state, placed)
+            loss = float(metrics["loss"])
+            total += loss
+            n += 1
+            timer.tick(batch["audio"].shape[0],
+                       float(np.sum(batch["audio_lengths"])) / sr)
+            if i % log_every == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                tp = timer.summary()
+                log_fn(
+                    f"[batch {i}] loss={m['loss']:.4f} ctc1={m['ctc1']:.4f} "
+                    f"ctc2={m['ctc2']:.4f} con1={m['contrast1']:.4f} "
+                    f"con2={m['contrast2']:.4f} gnorm={m['grad_norm']:.3f} "
+                    f"utt/s={tp['utterances_per_sec']:.2f} rtf={tp['rtf']:.2f}"
+                )
+        return state, (total / max(n, 1)), timer.summary()
+
+    def evaluate(self, batches: Iterable[dict], state: TrainState,
+                 use_beam: bool = True):
+        """Returns ``(avg_loss, avg_wer, avg_cer, per_speaker)``."""
+        beam_width = self.config.decode.beam_width
+        blank = self.config.model.decoder.blank_id
+        refs1, hyps1, refs2, hyps2 = [], [], [], []
+        total, n = 0.0, 0
+        for batch in batches:
+            num_real = int(batch.get("num_real", batch["audio"].shape[0]))
+            placed = self._place(batch)
+            metrics, out = self.eval_step(state, placed)
+            total += float((float(metrics["ctc1"]) + float(metrics["ctc2"])) / 2)
+            n += 1
+            if use_beam:
+                ids1, len1, _ = beam_search_decode(
+                    out["log_probs1"], out["input_lengths1"], beam_width, blank)
+                ids2, len2, _ = beam_search_decode(
+                    out["log_probs2"], out["input_lengths2"], beam_width, blank)
+            else:
+                ids1, len1 = out["greedy1"], out["greedy1_len"]
+                ids2, len2 = out["greedy2"], out["greedy2_len"]
+            ids1, len1 = np.asarray(ids1), np.asarray(len1)
+            ids2, len2 = np.asarray(ids2), np.asarray(len2)
+            t1, l1 = np.asarray(batch["text1"]), np.asarray(batch["text1_lengths"])
+            t2, l2 = np.asarray(batch["text2"]), np.asarray(batch["text2_lengths"])
+            for b in range(num_real):
+                hyps1.append(self.tokenizer.decode(ids1[b, : len1[b]].tolist()))
+                refs1.append(self.tokenizer.decode(t1[b, : l1[b]].tolist()))
+                hyps2.append(self.tokenizer.decode(ids2[b, : len2[b]].tolist()))
+                refs2.append(self.tokenizer.decode(t2[b, : l2[b]].tolist()))
+        wer1, wer2 = wer(refs1, hyps1), wer(refs2, hyps2)
+        cer_all = cer(refs1 + refs2, hyps1 + hyps2)
+        avg_loss = total / max(n, 1)
+        avg_wer = (wer1 + wer2) / 2
+        return avg_loss, avg_wer, cer_all, {"wer1": wer1, "wer2": wer2}
+
+    def fit(
+        self,
+        state: TrainState,
+        train_factory: Callable[[], Iterable[dict]],
+        val_factory: Callable[[], Iterable[dict]],
+        log_fn: Callable[[str], None] = print,
+        start_epoch: int = 1,
+    ):
+        """Full training driver: epochs, eval, rolling checkpoints, early stop
+        (reference main.py:158-200 surface).  ``start_epoch > 1`` appends to
+        existing CSV logs instead of truncating them (the reference truncated
+        on every rerun, losing history — main.py:154-157)."""
+        tcfg = self.config.train
+        resume = start_epoch > 1
+        ckpts = CheckpointManager(tcfg.checkpoint_dir)
+        train_log = CsvLogger(f"{tcfg.checkpoint_dir}/train_log.csv", ["epoch", "loss"],
+                              resume=resume)
+        eval_log = CsvLogger(
+            f"{tcfg.checkpoint_dir}/eval_log.csv",
+            ["epoch", "eval_loss", "wer1", "wer2", "average_wer", "cer"],
+            resume=resume,
+        )
+        no_improve = 0
+        best_loss = float("inf")
+        for epoch in range(start_epoch, tcfg.max_epochs + 1):
+            state, train_loss, throughput = self.train_epoch(
+                train_factory(), log_fn=log_fn, state=state
+            )
+            eval_loss, eval_wer, eval_cer, per = self.evaluate(val_factory(), state)
+            log_fn(
+                f"[epoch {epoch}] train_loss={train_loss:.4f} eval_loss={eval_loss:.4f} "
+                f"wer={eval_wer:.3f} cer={eval_cer:.3f} utt/s={throughput['utterances_per_sec']:.2f}"
+            )
+            train_log.log(epoch=epoch, loss=f"{train_loss:.4f}")
+            eval_log.log(epoch=epoch, eval_loss=f"{eval_loss:.4f}",
+                         wer1=f"{per['wer1']:.4f}", wer2=f"{per['wer2']:.4f}",
+                         average_wer=f"{eval_wer:.4f}", cer=f"{eval_cer:.4f}")
+            ckpts.on_epoch_end(
+                {"state": jax.device_get(state), "epoch": epoch},
+                eval_loss, eval_wer,
+            )
+            if eval_loss < best_loss:
+                best_loss = eval_loss
+                no_improve = 0
+            else:
+                no_improve += 1
+                if no_improve >= tcfg.early_stop_patience:
+                    log_fn(f"early stop after {no_improve} epochs without improvement")
+                    break
+        train_log.close()
+        eval_log.close()
+        return state
