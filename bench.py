@@ -24,7 +24,7 @@ VIDEO_FRAMES = 120          # 4 s at 30 fps
 SAMPLES = VIDEO_FRAMES * 534
 LABEL_LEN = 20
 WARMUP = 2
-STEPS = 10
+STEPS = 30
 
 
 def load_baseline() -> float:
@@ -74,14 +74,19 @@ def main() -> None:
     state = trainer.init_state(0, batch)
     placed = {k: jax.device_put(v) for k, v in batch.items()}
 
+    # NOTE: on tunneled backends block_until_ready can return before the
+    # device finishes; a host readback of a value that depends on every step
+    # (the final loss, chained through the donated state) is the only honest
+    # barrier.  Steps are data-dependent through `state`, so the whole chain
+    # must execute.
     for _ in range(WARMUP):
         state, metrics = trainer.train_step(state, placed)
-    jax.block_until_ready(metrics["loss"])
+    float(metrics["loss"])
 
     t0 = time.perf_counter()
     for _ in range(STEPS):
         state, metrics = trainer.train_step(state, placed)
-    jax.block_until_ready(metrics["loss"])
+    final_loss = float(metrics["loss"])
     dt = (time.perf_counter() - t0) / STEPS
 
     utt_per_sec = BATCH / dt
@@ -99,7 +104,7 @@ def main() -> None:
             "rtf": round(rtf, 2),
             "batch": BATCH,
             "video_frames": VIDEO_FRAMES,
-            "loss": round(float(metrics["loss"]), 4),
+            "loss": round(final_loss, 4),
             "device": str(jax.devices()[0]),
             "baseline_utt_per_sec": baseline if baseline == baseline else None,
         },

@@ -18,6 +18,15 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
+# Persistent XLA compilation cache: the test models recompile identically on
+# every run, and this host has one CPU core — caching cuts suite time from
+# ~30 min to ~minutes after the first run.
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 # The upstream reference (read-only) is importable as a torch-based oracle for
 # behavioural parity tests.  Guarded: absent in environments without the mount.
 REFERENCE_ROOT = "/root/reference"
