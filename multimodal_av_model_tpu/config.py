@@ -29,6 +29,9 @@ class AudioFrontendConfig:
     log_eps: float = 1e-6
     center: bool = True               # torch.stft default used by torchaudio
     power: float = 2.0
+    use_pallas: bool = False          # fused Pallas kernel (TPU only); the
+                                      # frontend takes no gradient (waveform
+                                      # is a leaf), so no custom VJP needed
 
 
 @dataclass

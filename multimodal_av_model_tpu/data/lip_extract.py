@@ -6,7 +6,7 @@ MediaPipe dependency stays optional (SURVEY.md §2b: landmark detection has no
 TPU analog and stays host/offline):
 
 * ``detect_lip_boxes`` — runs MediaPipe FaceMesh per frame and emits
-  ``[T, 4]`` pixel boxes (the same 39 lip landmark indices + 10 px margin as
+  ``[T, 4]`` pixel boxes (the same 40 lip landmark indices + 10 px margin as
   reference preprocessing.py:35-40,69-80).  Requires ``mediapipe``; gated.
 * ``crop_clip_from_boxes`` — pure NumPy: crops + resizes given *precomputed*
   boxes.  This is what the data pipeline consumes, so corpora can ship

@@ -21,6 +21,7 @@ additive attention mask derived from sample counts, never by ragged slicing.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -110,11 +111,24 @@ class AudioEncoder(nn.Module):
         cfg, fe = self.config, self.frontend
         B, S = waveform.shape
 
-        # Frontend (f32 features, then cast to compute dtype).
-        mel = log_mel_spectrogram(
-            waveform, fe.sample_rate, fe.n_fft, fe.hop_length, fe.win_length,
-            fe.n_mels, fe.f_min, fe.f_max, fe.log_eps, fe.center,
-        )                                            # [B, T_mel, n_mels]
+        # Frontend (f32 features, then cast to compute dtype).  No gradient
+        # flows through it (waveform is a data leaf), so the fused Pallas
+        # kernel slots in without a custom VJP.
+        if fe.use_pallas:
+            from ..ops.pallas.logmel_kernel import log_mel_spectrogram_pallas
+
+            mel = jax.lax.stop_gradient(
+                log_mel_spectrogram_pallas(
+                    waveform, fe.sample_rate, fe.n_fft, fe.hop_length,
+                    fe.win_length, fe.n_mels, fe.f_min, fe.f_max, fe.log_eps,
+                    fe.center,
+                )
+            )
+        else:
+            mel = log_mel_spectrogram(
+                waveform, fe.sample_rate, fe.n_fft, fe.hop_length, fe.win_length,
+                fe.n_mels, fe.f_min, fe.f_max, fe.log_eps, fe.center,
+            )                                        # [B, T_mel, n_mels]
         T_mel = mel.shape[1]
 
         # Frame validity from the sample mask: a mel frame is valid iff its

@@ -4,6 +4,7 @@ from .ctc import ctc_loss, ctc_greedy_decode, ctc_collapse
 from .metrics import levenshtein, wer, cer
 from .contrastive import contrastive_loss_with_mask
 from .beam_search import beam_search_decode
+from .pallas.logmel_kernel import log_mel_spectrogram_pallas
 
 __all__ = [
     "resize_bilinear",
@@ -19,4 +20,5 @@ __all__ = [
     "cer",
     "contrastive_loss_with_mask",
     "beam_search_decode",
+    "log_mel_spectrogram_pallas",
 ]

@@ -30,9 +30,25 @@ def make_mesh(
     model_parallel: int = 1,
     devices=None,
 ) -> Mesh:
-    """Build a ``(data, model)`` mesh over the first ``n_devices`` devices."""
-    devices = list(devices if devices is not None else jax.devices())
+    """Build a ``(data, model)`` mesh over the first ``n_devices`` devices.
+
+    If the default backend has fewer than ``n_devices`` devices but a CPU
+    backend has enough (the virtual-mesh testing setup,
+    ``--xla_force_host_platform_device_count``), falls back to CPU devices.
+    """
+    if devices is None:
+        devices = jax.devices()
+        if n_devices is not None and len(devices) < n_devices:
+            try:
+                cpu = jax.devices("cpu")
+                if len(cpu) >= n_devices:
+                    devices = cpu
+            except RuntimeError:
+                pass
+    devices = list(devices)
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise ValueError(f"need {n_devices} devices, have {len(devices)}")
         devices = devices[:n_devices]
     n = len(devices)
     if n % model_parallel != 0:

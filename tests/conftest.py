@@ -23,6 +23,10 @@ if REPO_ROOT not in sys.path:
 # ~30 min to ~minutes after the first run.
 import jax  # noqa: E402
 
+# Some environments register an accelerator plugin that force-overrides
+# JAX_PLATFORMS at import; pin the config explicitly so tests really run on
+# the virtual 8-device CPU mesh.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
