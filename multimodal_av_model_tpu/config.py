@@ -141,6 +141,11 @@ class TrainConfig:
     learning_rate: float = 1e-4       # reference model/trainer.py:35
     audio_learning_rate: float = 2e-5 # reference model/trainer.py:36
     lambda_contrastive: float = 0.1   # reference model/trainer.py:14
+    contrastive_only: bool = False    # AV-alignment pretraining (BASELINE
+                                      # config 4): optimize only the masked
+                                      # contrastive loss — the stand-in for
+                                      # wav2vec2's pretrained features
+                                      # (SURVEY.md §7 hard-parts list)
     max_epochs: int = 50              # reference main.py:160
     early_stop_patience: int = 5      # reference main.py:142
     freeze_visual_trunk: bool = False # reference main.py:100-103 behaviour, opt-in

@@ -143,18 +143,23 @@ class MultiSpeakerTrainer:
             new_stats = new_stats["batch_stats"]
         ccfg = self.config.model.contrastive
         blank = self.config.model.decoder.blank_id
-        ctc1 = ctc_loss(out["log_probs1"], batch["text1"], out["input_lengths1"],
-                        batch["text1_lengths"], blank)
-        ctc2 = ctc_loss(out["log_probs2"], batch["text2"], out["input_lengths2"],
-                        batch["text2_lengths"], blank)
         con1 = contrastive_loss_with_mask(out["contrast1"], out["mask_ds1"],
                                           ccfg.temperature, ccfg.weight_pos_align,
                                           ccfg.weight_neg_suppress)
         con2 = contrastive_loss_with_mask(out["contrast2"], out["mask_ds2"],
                                           ccfg.temperature, ccfg.weight_pos_align,
                                           ccfg.weight_neg_suppress)
-        lam = self.config.train.lambda_contrastive
-        total = (ctc1 + ctc2) / 2 + lam * (con1 + con2) / 2
+        if self.config.train.contrastive_only:
+            # AV-alignment pretraining (BASELINE config 4): no CTC term.
+            ctc1 = ctc2 = jnp.zeros((), jnp.float32)
+            total = (con1 + con2) / 2
+        else:
+            ctc1 = ctc_loss(out["log_probs1"], batch["text1"], out["input_lengths1"],
+                            batch["text1_lengths"], blank)
+            ctc2 = ctc_loss(out["log_probs2"], batch["text2"], out["input_lengths2"],
+                            batch["text2_lengths"], blank)
+            lam = self.config.train.lambda_contrastive
+            total = (ctc1 + ctc2) / 2 + lam * (con1 + con2) / 2
         metrics = {"loss": total, "ctc1": ctc1, "ctc2": ctc2,
                    "contrast1": con1, "contrast2": con2}
         return total, (metrics, new_stats, out)

@@ -138,6 +138,26 @@ def test_checkpoint_roundtrip_and_graft(tmp_path, setup):
     )
 
 
+def test_contrastive_only_pretrain_mode(tok):
+    """BASELINE config 4: contrastive-only AV-alignment pretraining — the CTC
+    term must vanish and the step must still train."""
+    cfg = tiny_config()
+    cfg.model.decoder.vocab_size = tok.vocab_size
+    cfg.model.fusion.temporal_model = "transformer"
+    cfg.train.contrastive_only = True
+    model = MultiSpeakerAVModel(cfg.model)
+    trainer = MultiSpeakerTrainer(cfg, model, tok)
+    batch = tiny_batch(tok)
+    state = trainer.init_state(0, batch)
+    state, metrics = trainer.train_step(state, trainer._place(batch))
+    assert float(metrics["ctc1"]) == 0.0 and float(metrics["ctc2"]) == 0.0
+    assert np.isfinite(float(metrics["contrast1"]))
+    assert float(metrics["loss"]) == pytest.approx(
+        (float(metrics["contrast1"]) + float(metrics["contrast2"])) / 2, rel=1e-5
+    )
+    assert float(metrics["grad_norm"]) > 0
+
+
 def test_resume_restores_optimizer_structure(tmp_path, setup):
     """Regression: a structure-free restore returns raw dicts whose opt_state
     breaks ``optimizer.update`` on the first resumed step.  Template restore
