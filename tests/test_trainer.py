@@ -179,6 +179,35 @@ def test_resume_restores_optimizer_structure(tmp_path, setup):
     assert np.isfinite(float(metrics["loss"]))
 
 
+def test_av_model_overfits_to_low_cer(tok):
+    """Full-stack learning check: the two-speaker AV model must overfit one
+    tiny batch until greedy decode reproduces the labels (CER → low).  This
+    exercises CTC credit assignment through fusion, both encoders, and the
+    contrastive branch together."""
+    from multimodal_av_model_tpu.ops.metrics import cer
+
+    cfg = tiny_config()
+    cfg.model.decoder.vocab_size = tok.vocab_size
+    cfg.model.fusion.temporal_model = "transformer"
+    cfg.train.learning_rate = 3e-3
+    cfg.train.audio_learning_rate = 3e-3
+    model = MultiSpeakerAVModel(cfg.model)
+    trainer = MultiSpeakerTrainer(cfg, model, tok)
+    batch = tiny_batch(tok)
+    # Restrict labels to a 20-token subset: the tiny (16–48 dim) model can
+    # then separate classes within a test-budget number of steps.
+    batch["text1"] = (5 + (batch["text1"] % 20)).astype(np.int32)
+    batch["text2"] = (5 + (batch["text2"] % 20)).astype(np.int32)
+    state = trainer.init_state(0, batch)
+    for _ in range(300):
+        state, metrics = trainer.train_step(state, trainer._place(batch))
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["loss"]) < 1.0  # from ~18 at init
+
+    _, _, eval_cer, _ = trainer.evaluate([batch], state, use_beam=False)
+    assert eval_cer < 0.2, eval_cer  # reaches 0.0 at 300 steps
+
+
 def test_audio_only_overfits_one_batch(tok):
     """The minimum end-to-end learning check: audio-only CTC must overfit a
     single tiny batch (BASELINE config 1)."""
