@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Serving-side benchmark: full AV inference (forward + on-device beam search
++ id→text) throughput and RTF on the attached TPU.
+
+The reference's eval loop decodes on the host with a per-frame ``.item()``
+sync (SURVEY.md §3.2); this measures our on-device pipeline end to end.
+Writes benchmarks/decode.json.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BATCH = 8
+T_V = 120
+S = T_V * 534
+ROUNDS = 10
+
+
+def main():
+    import jax
+
+    from multimodal_av_model_tpu.config import Config
+    from multimodal_av_model_tpu.infer import Transcriber
+    from multimodal_av_model_tpu.models import MultiSpeakerAVModel
+    from multimodal_av_model_tpu.text import CharTokenizer
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tok = CharTokenizer(os.path.join(root, "assets", "tokenizer800.vocab"))
+    cfg = Config()
+    cfg.model.decoder.vocab_size = tok.vocab_size
+    cfg.model.visual.norm = "group"
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "lip1": rng.uniform(size=(BATCH, T_V, 1, 96, 96)).astype(np.float32),
+        "lip2": rng.uniform(size=(BATCH, T_V, 1, 96, 96)).astype(np.float32),
+        "audio": (rng.standard_normal((BATCH, S)) * 0.1).astype(np.float32),
+        "mask1": rng.integers(0, 3, size=(BATCH, S)).astype(np.int32),
+        "mask2": rng.integers(0, 3, size=(BATCH, S)).astype(np.int32),
+        "lip1_lengths": np.full((BATCH,), T_V, np.int32),
+        "lip2_lengths": np.full((BATCH,), T_V, np.int32),
+    }
+
+    model = MultiSpeakerAVModel(cfg.model, dtype=jax.numpy.bfloat16)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0),
+        batch["lip1"], batch["lip2"], batch["audio"],
+        batch["mask1"], batch["mask2"],
+        batch["lip1_lengths"], batch["lip2_lengths"],
+    )
+    t = Transcriber(cfg, tok, variables)
+
+    results = {}
+    for mode, use_beam in (("beam", True), ("greedy", False)):
+        texts = t.transcribe(batch, use_beam=use_beam)   # compile + sanity
+        assert len(texts) == BATCH
+        t0 = time.perf_counter()
+        for _ in range(ROUNDS):
+            texts = t.transcribe(batch, use_beam=use_beam)
+        dt = (time.perf_counter() - t0) / ROUNDS         # id→text is host work,
+        results[mode] = {                                 # included by design
+            "sec_per_batch": round(dt, 4),
+            "utterances_per_sec": round(BATCH / dt, 2),
+            "rtf": round((BATCH * S / 16000) / dt, 1),
+        }
+        print(mode, results[mode], flush=True)
+
+    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "decode.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
