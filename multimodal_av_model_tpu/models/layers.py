@@ -120,12 +120,38 @@ class LSTMLayer(nn.Module):
         return carry, y
 
 
+class _BiLSTMStep(nn.Module):
+    """One time step of a bidirectional LSTM layer: the forward cell (reading
+    ``t``) and backward cell (reading ``T-1-t``) advance in the SAME scan —
+    they are independent recurrences, so fusing them halves the number of
+    serial scan steps vs two separate scans (LSTM serialization is a
+    measurable slice of the train step on TPU)."""
+
+    hidden_size: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, carry, inp):
+        fc, bc = carry
+        xf, vf, xb, vb = inp
+        new_fc, yf = nn.OptimizedLSTMCell(self.hidden_size, dtype=self.dtype,
+                                          name="fwd")(fc, xf)
+        new_bc, yb = nn.OptimizedLSTMCell(self.hidden_size, dtype=self.dtype,
+                                          name="bwd")(bc, xb)
+        keep_f = vf[:, None]
+        keep_b = vb[:, None]
+        fc = jax.tree.map(lambda n, o: jnp.where(keep_f, n, o), new_fc, fc)
+        bc = jax.tree.map(lambda n, o: jnp.where(keep_b, n, o), new_bc, bc)
+        return (fc, bc), (jnp.where(keep_f, yf, 0.0), jnp.where(keep_b, yb, 0.0))
+
+
 class BiLSTM(nn.Module):
     """Stacked bidirectional LSTM: ``[B, T, D] → [B, T, 2·hidden]``.
 
     Capability-equivalent of the reference fusion temporal model
     (reference model/fusion_module.py:21-27: 2-layer bidirectional
-    ``nn.LSTM(fused_dim → fused_dim)``)."""
+    ``nn.LSTM(fused_dim → fused_dim)``).  Each layer runs both directions in
+    one ``nn.scan`` (see ``_BiLSTMStep``)."""
 
     hidden_size: int
     num_layers: int = 2
@@ -133,14 +159,30 @@ class BiLSTM(nn.Module):
 
     @nn.compact
     def __call__(self, x, lengths=None):
+        B, T, _ = x.shape
+        if lengths is None:
+            valid = jnp.ones((B, T), bool)
+        else:
+            valid = jnp.arange(T)[None, :] < lengths[:, None]
+        vs = jnp.moveaxis(valid, 1, 0)                  # [T, B]
+
+        cell = nn.OptimizedLSTMCell(self.hidden_size, dtype=self.dtype)
         for i in range(self.num_layers):
-            fwd = LSTMLayer(self.hidden_size, reverse=False, dtype=self.dtype, name=f"fwd{i}")(
-                x, lengths
+            xs = jnp.moveaxis(x, 1, 0)                  # [T, B, D]
+            carry0 = (
+                cell.initialize_carry(jax.random.PRNGKey(0), (B, self.hidden_size)),
+                cell.initialize_carry(jax.random.PRNGKey(0), (B, self.hidden_size)),
             )
-            bwd = LSTMLayer(self.hidden_size, reverse=True, dtype=self.dtype, name=f"bwd{i}")(
-                x, lengths
-            )
-            x = jnp.concatenate([fwd, bwd], axis=-1)
+            scanned = nn.scan(
+                _BiLSTMStep,
+                variable_broadcast="params",
+                split_rngs={"params": False},
+                in_axes=0,
+                out_axes=0,
+            )(self.hidden_size, self.dtype, name=f"layer{i}")
+            _, (yf, yb) = scanned(carry0, (xs, vs, xs[::-1], vs[::-1]))
+            x = jnp.concatenate([yf, yb[::-1]], axis=-1)  # [T, B, 2H]
+            x = jnp.moveaxis(x, 0, 1)
         return x
 
 
