@@ -14,6 +14,7 @@ associativity.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -45,6 +46,34 @@ def resize_bilinear(images, out_h: int, out_w: int):
     left = jnp.take(rows, xlo, axis=-1)
     right = jnp.take(rows, xhi, axis=-1)
     return left + (right - left) * xfrac
+
+
+def resize_matrix(out_size: int, in_size: int):
+    """Bilinear resize as a sparse (2-banded) matrix ``[out, in]`` — cv2
+    INTER_LINEAR weights.  Lets the separable resize run as two matmuls on
+    the MXU instead of gathers (gathers lower poorly on TPU)."""
+    import numpy as np
+
+    scale = in_size / out_size
+    src = np.clip((np.arange(out_size) + 0.5) * scale - 0.5, 0, in_size - 1)
+    lo = np.floor(src).astype(np.int64)
+    hi = np.minimum(lo + 1, in_size - 1)
+    frac = (src - lo).astype(np.float32)
+    m = np.zeros((out_size, in_size), np.float32)
+    m[np.arange(out_size), lo] += 1.0 - frac
+    m[np.arange(out_size), hi] += frac
+    return m
+
+
+def resize_bilinear_matmul(images, out_h: int, out_w: int):
+    """Separable matmul formulation of :func:`resize_bilinear` (identical
+    weights): ``out = R_y · img · R_xᵀ`` batched over leading axes."""
+    images = jnp.asarray(images, jnp.float32)
+    ry = jnp.asarray(resize_matrix(out_h, images.shape[-2]))
+    rx = jnp.asarray(resize_matrix(out_w, images.shape[-1]))
+    hi = jax.lax.Precision.HIGHEST
+    rows = jnp.einsum("oh,...hw->...ow", ry, images, precision=hi)
+    return jnp.einsum("...ow,pw->...op", rows, rx, precision=hi)
 
 
 def lip_frames_preprocess(frames, out_size: int = 96):
