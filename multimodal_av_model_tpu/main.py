@@ -48,6 +48,7 @@ def build_data(cfg, tokenizer, synthetic: bool):
             return PrefetchingLoader(
                 lambda: bucketed_batches(it, specs, cfg.train.batch_size),
                 depth=cfg.data.prefetch_depth,
+                device_put=True,   # overlap host->device transfer with compute
             )
         val_src = SyntheticPairSource(tokenizer, seed=cfg.data.seed + 1)
         def val_factory():
@@ -55,6 +56,7 @@ def build_data(cfg, tokenizer, synthetic: bool):
             return PrefetchingLoader(
                 lambda: bucketed_batches(it, specs, cfg.train.eval_batch_size),
                 depth=cfg.data.prefetch_depth,
+                device_put=True,
             )
         return train_factory, val_factory
 
@@ -80,12 +82,14 @@ def build_data(cfg, tokenizer, synthetic: bool):
         return PrefetchingLoader(
             lambda: bucketed_batches(iter(train_sampler), specs, cfg.train.batch_size),
             depth=cfg.data.prefetch_depth,
+            device_put=True,
         )
 
     def val_factory():
         return PrefetchingLoader(
             lambda: bucketed_batches(iter(val_sampler), specs, cfg.train.eval_batch_size),
             depth=cfg.data.prefetch_depth,
+            device_put=True,
         )
 
     return train_factory, val_factory

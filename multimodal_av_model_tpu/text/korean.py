@@ -35,3 +35,50 @@ class KoreanSyllableVocab:
 
 def is_hangul_syllable(ch: str) -> bool:
     return _HANGUL_START <= ord(ch) <= _HANGUL_END
+
+
+# Compatibility jamo inventories (the choseong/jungseong/jongseong the legacy
+# util lists, 이전 버전/utils/korean_vocab_utils.py:10-27).
+_N_JUNG, _N_JONG = 21, 28
+
+_CHOSEONG = ["ㄱ", "ㄲ", "ㄴ", "ㄷ", "ㄸ", "ㄹ", "ㅁ", "ㅂ", "ㅃ", "ㅅ",
+             "ㅆ", "ㅇ", "ㅈ", "ㅉ", "ㅊ", "ㅋ", "ㅌ", "ㅍ", "ㅎ"]
+_JUNGSEONG = ["ㅏ", "ㅐ", "ㅑ", "ㅒ", "ㅓ", "ㅔ", "ㅕ", "ㅖ", "ㅗ", "ㅘ",
+              "ㅙ", "ㅚ", "ㅛ", "ㅜ", "ㅝ", "ㅞ", "ㅟ", "ㅠ", "ㅡ", "ㅢ", "ㅣ"]
+_JONGSEONG = ["", "ㄱ", "ㄲ", "ㄳ", "ㄴ", "ㄵ", "ㄶ", "ㄷ", "ㄹ", "ㄺ",
+              "ㄻ", "ㄼ", "ㄽ", "ㄾ", "ㄿ", "ㅀ", "ㅁ", "ㅂ", "ㅄ", "ㅅ",
+              "ㅆ", "ㅇ", "ㅈ", "ㅊ", "ㅋ", "ㅌ", "ㅍ", "ㅎ"]
+
+
+def syllable_to_jamo(ch: str) -> list[str]:
+    """Decompose one Hangul syllable into (choseong, jungseong[, jongseong]);
+    non-Hangul characters pass through unchanged."""
+    if not is_hangul_syllable(ch):
+        return [ch]
+    idx = ord(ch) - _HANGUL_START
+    cho, rem = divmod(idx, _N_JUNG * _N_JONG)
+    jung, jong = divmod(rem, _N_JONG)
+    out = [_CHOSEONG[cho], _JUNGSEONG[jung]]
+    if jong:
+        out.append(_JONGSEONG[jong])
+    return out
+
+
+def text_to_jamo(text: str) -> list[str]:
+    out: list[str] = []
+    for ch in text:
+        out.extend(syllable_to_jamo(ch))
+    return out
+
+
+def jamo_error_rate(references, hypotheses) -> float:
+    """Jamo-level CER — the finest-grained Korean error metric: a single
+    vowel mistake costs 1/3 of a syllable instead of a whole character."""
+    from ..ops.metrics import _corpus_rate
+
+    if isinstance(references, str):
+        references, hypotheses = [references], [hypotheses]
+    return _corpus_rate(
+        [text_to_jamo(" ".join(r.split())) for r in references],
+        [text_to_jamo(" ".join(h.split())) for h in hypotheses],
+    )

@@ -282,11 +282,14 @@ class MultiSpeakerTrainer:
                 refs1.append(self.tokenizer.decode(t1[b, : l1[b]].tolist()))
                 hyps2.append(self.tokenizer.decode(ids2[b, : len2[b]].tolist()))
                 refs2.append(self.tokenizer.decode(t2[b, : l2[b]].tolist()))
+        from ..text.korean import jamo_error_rate
+
         wer1, wer2 = wer(refs1, hyps1), wer(refs2, hyps2)
         cer_all = cer(refs1 + refs2, hyps1 + hyps2)
+        jer_all = jamo_error_rate(refs1 + refs2, hyps1 + hyps2)
         avg_loss = total / max(n, 1)
         avg_wer = (wer1 + wer2) / 2
-        return avg_loss, avg_wer, cer_all, {"wer1": wer1, "wer2": wer2}
+        return avg_loss, avg_wer, cer_all, {"wer1": wer1, "wer2": wer2, "jer": jer_all}
 
     def fit(
         self,
@@ -307,7 +310,7 @@ class MultiSpeakerTrainer:
                               resume=resume)
         eval_log = CsvLogger(
             f"{tcfg.checkpoint_dir}/eval_log.csv",
-            ["epoch", "eval_loss", "wer1", "wer2", "average_wer", "cer"],
+            ["epoch", "eval_loss", "wer1", "wer2", "average_wer", "cer", "jer"],
             resume=resume,
         )
         no_improve = 0
@@ -324,7 +327,8 @@ class MultiSpeakerTrainer:
             train_log.log(epoch=epoch, loss=f"{train_loss:.4f}")
             eval_log.log(epoch=epoch, eval_loss=f"{eval_loss:.4f}",
                          wer1=f"{per['wer1']:.4f}", wer2=f"{per['wer2']:.4f}",
-                         average_wer=f"{eval_wer:.4f}", cer=f"{eval_cer:.4f}")
+                         average_wer=f"{eval_wer:.4f}", cer=f"{eval_cer:.4f}",
+                         jer=f"{per['jer']:.4f}")
             ckpts.on_epoch_end(
                 {"state": jax.device_get(state), "epoch": epoch},
                 eval_loss, eval_wer,

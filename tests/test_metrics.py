@@ -34,3 +34,19 @@ def test_cer_korean():
 def test_empty_reference():
     assert cer("", "") == 0.0
     assert math.isinf(wer("", "word"))
+
+
+def test_jamo_decomposition_and_rate():
+    from multimodal_av_model_tpu.text.korean import (
+        jamo_error_rate,
+        syllable_to_jamo,
+        text_to_jamo,
+    )
+
+    assert syllable_to_jamo("한") == ["ㅎ", "ㅏ", "ㄴ"]
+    assert syllable_to_jamo("가") == ["ㄱ", "ㅏ"]
+    assert syllable_to_jamo("a") == ["a"]
+    assert text_to_jamo("한가") == ["ㅎ", "ㅏ", "ㄴ", "ㄱ", "ㅏ"]
+    assert jamo_error_rate("한", "한") == 0.0
+    # 한(ㅎㅏㄴ) vs 한(ㅎㅏ) with missing jongseong: 1 deletion / 3 jamo.
+    assert jamo_error_rate("한", "하") == 1 / 3

@@ -89,7 +89,8 @@ def test_evaluate_produces_metrics(setup):
     assert np.isfinite(loss)
     assert 0 <= avg_wer
     assert 0 <= avg_cer
-    assert set(per) == {"wer1", "wer2"}
+    assert set(per) == {"wer1", "wer2", "jer"}
+    assert 0 <= per["jer"]
 
 
 def test_frozen_prefixes_keep_params(tok):
