@@ -95,10 +95,57 @@ def build_data(cfg, tokenizer, synthetic: bool):
     return train_factory, val_factory
 
 
+def run_single_modality(cfg, tokenizer, family: str, synthetic: bool) -> None:
+    """Audio-only / video-only CTC training (BASELINE configs 1-2)."""
+    from .train.single_modality import (
+        make_audio_trainer,
+        make_visual_trainer,
+        synthetic_audio_batches,
+        synthetic_visual_batches,
+        utterance_batches,
+    )
+
+    make = make_audio_trainer if family == "audio" else make_visual_trainer
+    trainer = make(cfg, tokenizer)
+
+    if synthetic:
+        syn = synthetic_audio_batches if family == "audio" else synthetic_visual_batches
+        n_train = max(1, cfg.data.num_pairs_per_epoch // cfg.train.batch_size)
+        n_val = max(1, cfg.data.eval_pairs // cfg.train.eval_batch_size)
+        train_factory = lambda: syn(tokenizer, cfg.train.batch_size, n_train,
+                                    seed=cfg.data.seed)
+        val_factory = lambda: syn(tokenizer, cfg.train.eval_batch_size, n_val,
+                                  seed=cfg.data.seed + 1)
+    else:
+        from .data.manifest import build_data_list, train_val_test_split
+
+        entries, _ = build_data_list(cfg.data.json_folder, cfg.data.npy_dir,
+                                     cfg.data.text_dir, cfg.data.wav_dir)
+        if not entries:
+            raise SystemExit("no usable data; use --synthetic")
+        train_set, val_set, _ = train_val_test_split(entries, seed=cfg.data.seed)
+        train_factory = lambda: utterance_batches(
+            train_set, tokenizer, family, cfg.train.batch_size,
+            cfg.data.sample_rate)
+        val_factory = lambda: utterance_batches(
+            val_set, tokenizer, family, cfg.train.eval_batch_size,
+            cfg.data.sample_rate, drop_last=False)
+
+    state = trainer.init_state(cfg.data.seed, next(iter(train_factory())))
+    trainer.fit(state, train_factory, val_factory)
+
+
 def main(argv: list[str] | None = None) -> None:
     argv = list(sys.argv[1:] if argv is None else argv)
     synthetic = "--synthetic" in argv
     argv = [a for a in argv if a != "--synthetic"]
+    family = "av"
+    for a in list(argv):
+        if a.startswith("--family="):
+            family = a.split("=", 1)[1]
+            argv.remove(a)
+    if family not in ("av", "audio", "visual"):
+        raise SystemExit(f"--family must be av|audio|visual, got {family}")
 
     from .config import from_flat_overrides
     from .models import MultiSpeakerAVModel
@@ -114,6 +161,10 @@ def main(argv: list[str] | None = None) -> None:
         vocab = os.path.join(os.path.dirname(__file__), "..", "assets", "tokenizer800.vocab")
     tokenizer = CharTokenizer(vocab)
     cfg.model.decoder.vocab_size = tokenizer.vocab_size
+
+    if family != "av":
+        run_single_modality(cfg, tokenizer, family, synthetic)
+        return
 
     train_factory, val_factory = build_data(cfg, tokenizer, synthetic)
 

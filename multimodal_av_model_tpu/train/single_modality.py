@@ -1,0 +1,245 @@
+"""Single-modality training paths: audio-only and video-only CTC.
+
+BASELINE.json configs 1–2: the audio-only slice (log-mel → Conformer → CTC,
+the CPU-runnable minimum end-to-end path) and the video-only lipreading
+slice (lip ROI → VisualEncoder → CTC).  Both share one jitted trainer over
+the single-stream batch schema ``{inputs, input_meta, labels, label_lengths}``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import Config
+from ..ops.beam_search import beam_search_decode
+from ..ops.ctc import ctc_greedy_decode, ctc_loss
+from ..ops.metrics import cer, wer
+
+
+@dataclasses.dataclass
+class SingleModalityTrainer:
+    """Jitted CTC training for a model with signature
+    ``apply(vars, inputs, meta, train=...) -> (log_probs, input_lengths)``."""
+
+    config: Config
+    model: Any
+    tokenizer: Any
+
+    def __post_init__(self):
+        self._tx = optax.adam(self.config.train.learning_rate)
+        self._step = None
+        self._eval = None
+
+    def init_state(self, rng: int, batch: dict):
+        key = jax.random.PRNGKey(rng)
+        init_key, state_key = jax.random.split(key)
+        variables = jax.jit(self.model.init)(init_key, batch["inputs"], batch["meta"])
+        params = variables["params"]
+        return {"params": params, "opt_state": self._tx.init(params),
+                "batch_stats": variables.get("batch_stats", {}), "rng": state_key}
+
+    def _loss(self, params, batch, train: bool, rng=None):
+        kwargs = {"rngs": {"dropout": rng}} if (train and rng is not None) else {}
+        lp, il = self.model.apply({"params": params}, batch["inputs"],
+                                  batch["meta"], train=train, **kwargs)
+        blank = self.config.model.decoder.blank_id
+        loss = ctc_loss(lp, batch["labels"], il, batch["label_lengths"], blank)
+        return loss, (lp, il)
+
+    @property
+    def train_step(self):
+        if self._step is None:
+            def step(state, batch):
+                rng, step_rng = jax.random.split(state["rng"])
+                (loss, _), grads = jax.value_and_grad(
+                    lambda p: self._loss(p, batch, True, step_rng), has_aux=True
+                )(state["params"])
+                updates, opt_state = self._tx.update(grads, state["opt_state"])
+                return {
+                    "params": optax.apply_updates(state["params"], updates),
+                    "opt_state": opt_state,
+                    "batch_stats": state["batch_stats"],
+                    "rng": rng,
+                }, loss
+
+            self._step = jax.jit(step, donate_argnums=(0,))
+        return self._step
+
+    @property
+    def eval_forward(self):
+        if self._eval is None:
+            self._eval = jax.jit(
+                lambda p, inputs, meta: self.model.apply(
+                    {"params": p}, inputs, meta, train=False
+                )
+            )
+        return self._eval
+
+    def evaluate(self, batches: Iterable[dict], state, use_beam: bool = True):
+        refs, hyps = [], []
+        total, n = 0.0, 0
+        blank = self.config.model.decoder.blank_id
+        for batch in batches:
+            lp, il = self.eval_forward(state["params"], batch["inputs"], batch["meta"])
+            loss = ctc_loss(lp, batch["labels"], il, batch["label_lengths"], blank)
+            total += float(loss)
+            n += 1
+            if use_beam:
+                ids, lens, _ = beam_search_decode(
+                    lp, il, self.config.decode.beam_width, blank)
+            else:
+                ids, lens = ctc_greedy_decode(lp, il, blank)
+            ids, lens = np.asarray(ids), np.asarray(lens)
+            labels = np.asarray(batch["labels"])
+            llen = np.asarray(batch["label_lengths"])
+            for b in range(ids.shape[0]):
+                hyps.append(self.tokenizer.decode(ids[b, : lens[b]].tolist()))
+                refs.append(self.tokenizer.decode(labels[b, : llen[b]].tolist()))
+        return total / max(n, 1), wer(refs, hyps), cer(refs, hyps)
+
+    def fit(self, state, train_factory: Callable, val_factory: Callable,
+            log_fn=print):
+        tcfg = self.config.train
+        for epoch in range(1, tcfg.max_epochs + 1):
+            total, n = 0.0, 0
+            for batch in train_factory():
+                state, loss = self.train_step(state, batch)
+                total += float(loss)
+                n += 1
+            eval_loss, eval_wer, eval_cer = self.evaluate(val_factory(), state)
+            log_fn(f"[epoch {epoch}] train_loss={total / max(n,1):.4f} "
+                   f"eval_loss={eval_loss:.4f} wer={eval_wer:.3f} cer={eval_cer:.3f}")
+        return state
+
+
+class _AudioAdapter:
+    """Adapts AudioOnlyCTC to the (inputs, meta) trainer signature where
+    ``meta`` is the boolean sample mask (or None-like all-ones)."""
+
+    def __init__(self, inner):
+        self.inner = inner
+
+    def init(self, rng, inputs, meta):
+        return self.inner.init(rng, inputs, sample_mask=meta)
+
+    def apply(self, variables, inputs, meta, train: bool = False, **kw):
+        return self.inner.apply(variables, inputs, sample_mask=meta, train=train, **kw)
+
+
+class _VisualAdapter:
+    """Adapts VisualOnlyCTC: ``meta`` is the per-sample frame count."""
+
+    def __init__(self, inner):
+        self.inner = inner
+
+    def init(self, rng, inputs, meta):
+        return self.inner.init(rng, inputs, meta)
+
+    def apply(self, variables, inputs, meta, train: bool = False, **kw):
+        return self.inner.apply(variables, inputs, meta, train=train, **kw)
+
+
+def make_audio_trainer(cfg: Config, tokenizer, dtype=None) -> SingleModalityTrainer:
+    from ..models import AudioOnlyCTC
+
+    model = _AudioAdapter(AudioOnlyCTC(cfg.model, dtype=dtype or jnp.float32))
+    return SingleModalityTrainer(cfg, model, tokenizer)
+
+
+def make_visual_trainer(cfg: Config, tokenizer, dtype=None) -> SingleModalityTrainer:
+    from ..models import VisualOnlyCTC
+
+    model = _VisualAdapter(VisualOnlyCTC(cfg.model, dtype=dtype or jnp.float32))
+    return SingleModalityTrainer(cfg, model, tokenizer)
+
+
+def utterance_batches(entries, tokenizer, family: str, batch_size: int,
+                      sample_rate: int = 16000, max_samples: int = 160000,
+                      max_frames: int = 448, lip_size: int = 96,
+                      max_label_len: int = 128, drop_last: bool = True):
+    """Real-data single-utterance batches from manifest entries.
+
+    ``family``: 'audio' (wav segment → waveform + sample mask) or 'visual'
+    (lip .npy → [T,1,96,96] frames + frame count).
+    """
+    from ..data.audio_io import WavCache
+    from ..data.pipeline import preprocess_lip_clip_host
+
+    wavs = WavCache(target_sr=sample_rate)
+    buf = []
+
+    def flush():
+        B = len(buf)
+        labels = np.zeros((B, max_label_len), np.int32)
+        llen = np.zeros((B,), np.int32)
+        for i, (x, lab) in enumerate(buf):
+            lab = lab[:max_label_len]
+            labels[i, : len(lab)] = lab
+            llen[i] = len(lab)
+        if family == "audio":
+            inputs = np.zeros((B, max_samples), np.float32)
+            meta = np.zeros((B, max_samples), bool)
+            for i, (x, _) in enumerate(buf):
+                n = min(len(x), max_samples)
+                inputs[i, :n] = x[:n]
+                meta[i, :n] = True
+        else:
+            inputs = np.zeros((B, max_frames, 1, lip_size, lip_size), np.float32)
+            meta = np.zeros((B,), np.int32)
+            for i, (x, _) in enumerate(buf):
+                n = min(x.shape[0], max_frames)
+                inputs[i, :n] = x[:n]
+                meta[i] = n
+        return {"inputs": inputs, "meta": meta,
+                "labels": labels, "label_lengths": llen}
+
+    for entry in entries:
+        label = np.asarray(
+            tokenizer.encode(getattr(entry, "sentence_text", "") or
+                             open(entry["text_path"], encoding="utf-8").read().strip()),
+            np.int64,
+        )
+        if family == "audio":
+            x = wavs.load_segment(entry["audio_path"], entry["start_time"],
+                                  entry["end_time"])
+        else:
+            x = preprocess_lip_clip_host(np.load(entry["lip_path"]), lip_size)
+        buf.append((x, label))
+        if len(buf) == batch_size:
+            yield flush()
+            buf = []
+    if buf and not drop_last:
+        yield flush()
+
+
+def synthetic_audio_batches(tokenizer, batch_size: int, n_batches: int,
+                            samples: int = 16000, label_len: int = 8, seed: int = 0):
+    rng = np.random.default_rng(seed)
+    for _ in range(n_batches):
+        yield {
+            "inputs": (rng.standard_normal((batch_size, samples)) * 0.1).astype(np.float32),
+            "meta": np.ones((batch_size, samples), bool),
+            "labels": rng.integers(5, tokenizer.vocab_size,
+                                   size=(batch_size, label_len)).astype(np.int32),
+            "label_lengths": np.full((batch_size,), label_len, np.int32),
+        }
+
+
+def synthetic_visual_batches(tokenizer, batch_size: int, n_batches: int,
+                             frames: int = 16, size: int = 96, label_len: int = 4,
+                             seed: int = 0):
+    rng = np.random.default_rng(seed)
+    for _ in range(n_batches):
+        yield {
+            "inputs": rng.uniform(size=(batch_size, frames, 1, size, size)).astype(np.float32),
+            "meta": np.full((batch_size,), frames, np.int32),
+            "labels": rng.integers(5, tokenizer.vocab_size,
+                                   size=(batch_size, label_len)).astype(np.int32),
+            "label_lengths": np.full((batch_size,), label_len, np.int32),
+        }
