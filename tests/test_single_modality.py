@@ -55,3 +55,37 @@ def test_visual_only_trainer(tok):
     assert losses[-1] < losses[0]
     eval_loss, eval_wer, eval_cer = trainer.evaluate(batches, state, use_beam=True)
     assert np.isfinite(eval_loss)
+
+
+def test_real_data_utterance_batches(tok, tmp_path):
+    import numpy as np
+
+    from multimodal_av_model_tpu.data.audio_io import write_wav
+    from multimodal_av_model_tpu.data.manifest import SentenceEntry
+    from multimodal_av_model_tpu.train.single_modality import utterance_batches
+
+    rng = np.random.default_rng(0)
+    entries = []
+    for i in range(4):
+        lip = str(tmp_path / f"l{i}.npy")
+        np.save(lip, rng.uniform(0, 255, size=(6, 128, 128, 3)).astype(np.uint8))
+        wav = str(tmp_path / f"a{i}.wav")
+        write_wav(wav, rng.standard_normal(8000) * 0.1, 16000)
+        txt = str(tmp_path / f"t{i}.txt")
+        with open(txt, "w", encoding="utf-8") as f:
+            f.write("가나")
+        entries.append(SentenceEntry(lip, txt, wav, 0.1, 0.4, "가나", i, f"v{i}"))
+
+    audio_batches = list(utterance_batches(entries, tok, "audio", 2,
+                                           max_samples=8000, max_label_len=8))
+    assert len(audio_batches) == 2
+    b = audio_batches[0]
+    assert b["inputs"].shape == (2, 8000)
+    assert b["meta"][:, :4800].all() and not b["meta"][:, 4801:].any()  # 0.3 s
+    assert b["label_lengths"].tolist() == [2, 2]
+
+    vis_batches = list(utterance_batches(entries, tok, "visual", 2,
+                                         max_frames=8, lip_size=32, max_label_len=8))
+    b = vis_batches[0]
+    assert b["inputs"].shape == (2, 8, 1, 32, 32)
+    assert b["meta"].tolist() == [6, 6]
