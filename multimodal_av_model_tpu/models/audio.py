@@ -109,6 +109,11 @@ class AudioEncoder(nn.Module):
         Returns ``(last_hidden, middle_mean, frame_valid)``.
         """
         cfg, fe = self.config, self.frontend
+        if cfg.middle_layers and max(cfg.middle_layers) >= cfg.num_layers:
+            raise ValueError(
+                f"middle_layers {cfg.middle_layers} out of range for "
+                f"num_layers={cfg.num_layers}"
+            )
         B, S = waveform.shape
 
         # Frontend (f32 features, then cast to compute dtype).  No gradient
