@@ -149,6 +149,13 @@ class TrainConfig:
     max_epochs: int = 50              # reference main.py:160
     early_stop_patience: int = 5      # reference main.py:142
     freeze_visual_trunk: bool = False # reference main.py:100-103 behaviour, opt-in
+    audio_trainable_layers: tuple[int, ...] | None = None
+                                      # None → whole audio encoder trains at
+                                      # audio_learning_rate; a tuple freezes
+                                      # everything in the audio encoder EXCEPT
+                                      # those conformer blocks (the reference's
+                                      # unfreeze_middle_layers(6..9),
+                                      # main.py:26-31,105-106)
     grad_clip_norm: float | None = None
     checkpoint_dir: str = "checkpoints"
     log_every: int = 100              # reference model/trainer.py:125
@@ -193,7 +200,12 @@ def _set_dotted(obj: Any, path: str, raw: str) -> None:
     elif isinstance(current, tuple):
         value = tuple(int(x) for x in raw.strip("()").split(",") if x)
     elif current is None:
-        value = None if raw.lower() == "none" else float(raw)
+        if raw.lower() == "none":
+            value = None
+        elif raw.startswith("("):
+            value = tuple(int(x) for x in raw.strip("()").split(",") if x)
+        else:
+            value = float(raw)
     else:
         value = raw
     setattr(obj, name, value)

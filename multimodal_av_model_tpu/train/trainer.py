@@ -48,17 +48,36 @@ class TrainState(struct.PyTreeNode):
     rng: jnp.ndarray
 
 
-def label_params(params: dict, frozen_prefixes: tuple[str, ...] = ()) -> dict:
+def label_params(
+    params: dict,
+    frozen_prefixes: tuple[str, ...] = (),
+    audio_trainable_layers: tuple[int, ...] | None = None,
+) -> dict:
     """Path-label each param leaf: 'audio' for the audio encoder (low LR),
-    'frozen' for frozen subtrees, 'base' otherwise."""
+    'frozen' for frozen subtrees, 'base' otherwise.
+
+    ``audio_trainable_layers`` reproduces the reference's partial unfreeze
+    (main.py:26-31: freeze the whole audio encoder, then unfreeze encoder
+    layers 6–9): only the listed conformer blocks stay trainable at the
+    audio LR; every other audio-encoder param freezes.
+    """
     flat = flatten_dict(params)
+    trainable_blocks = (
+        None if audio_trainable_layers is None
+        else {f"block{i}" for i in audio_trainable_layers}
+    )
     labels = {}
     for path in flat:
         joined = "/".join(str(p) for p in path)
         if any(joined.startswith(p) for p in frozen_prefixes):
             labels[path] = "frozen"
         elif "audio_encoder" in path[:2]:
-            labels[path] = "audio"
+            if trainable_blocks is None:
+                labels[path] = "audio"
+            elif any(p in trainable_blocks for p in path):
+                labels[path] = "audio"
+            else:
+                labels[path] = "frozen"
         else:
             labels[path] = "base"
     return unflatten_dict(labels)
@@ -73,7 +92,7 @@ def make_optimizer(cfg: Config, params: dict, frozen_prefixes: tuple[str, ...] =
         chain.append(optax.adam(lr))
         return optax.chain(*chain)
 
-    labels = label_params(params, frozen_prefixes)
+    labels = label_params(params, frozen_prefixes, tcfg.audio_trainable_layers)
     return optax.multi_transform(
         {"base": adam(tcfg.learning_rate), "audio": adam(tcfg.audio_learning_rate),
          "frozen": optax.set_to_zero()},

@@ -246,3 +246,30 @@ def test_audio_only_overfits_one_batch(tok):
     final = float(loss)
     assert np.isfinite(final)
     assert final < first * 0.5, (first, final)
+
+
+def test_audio_partial_unfreeze_labels(tok):
+    """reference unfreeze_middle_layers semantics (main.py:26-31): with
+    audio_trainable_layers set, only those conformer blocks stay trainable;
+    all other audio-encoder params freeze."""
+    from flax.traverse_util import flatten_dict
+
+    from multimodal_av_model_tpu.train.trainer import label_params
+
+    params = {
+        "audio_encoder": {
+            "block0": {"k": np.zeros(1)},
+            "block1": {"k": np.zeros(1)},
+            "block2": {"k": np.zeros(1)},
+            "subsample": {"k": np.zeros(1)},
+            "out_proj": {"k": np.zeros(1)},
+        },
+        "decoder": {"head": {"k": np.zeros(1)}},
+    }
+    labels = flatten_dict(label_params(params, audio_trainable_layers=(1, 2)))
+    assert labels[("audio_encoder", "block0", "k")] == "frozen"
+    assert labels[("audio_encoder", "block1", "k")] == "audio"
+    assert labels[("audio_encoder", "block2", "k")] == "audio"
+    assert labels[("audio_encoder", "subsample", "k")] == "frozen"
+    assert labels[("audio_encoder", "out_proj", "k")] == "frozen"
+    assert labels[("decoder", "head", "k")] == "base"
