@@ -85,3 +85,39 @@ def test_downsample_mask_matches_torch_nearest():
             .numpy()
         )
         np.testing.assert_array_equal(ours, ref)
+
+
+def test_bucketed_batches_multi_bucket_routing():
+    """Samples route to the smallest fitting bucket; each emitted batch is
+    a single static shape; leftovers flush with num_real."""
+    import numpy as np
+
+    from multimodal_av_model_tpu.data.collate import make_bucket_specs
+    from multimodal_av_model_tpu.data.pipeline import bucketed_batches
+
+    specs = make_bucket_specs((8, 16), audio_samples_per_video_frame=100,
+                              max_label_len=4)
+
+    def sample(T):
+        S = T * 90
+        return {
+            "audio": np.zeros(S, np.float32),
+            "mask1": np.zeros(S, np.int64),
+            "mask2": np.zeros(S, np.int64),
+            "lip1": np.zeros((T, 1, 8, 8), np.float32),
+            "label1": np.array([5, 6], np.int64),
+            "lip1_len": T,
+            "lip2": np.zeros((T, 1, 8, 8), np.float32),
+            "label2": np.array([7], np.int64),
+            "lip2_len": T,
+        }
+
+    stream = [sample(6), sample(12), sample(7), sample(5), sample(14)]
+    batches = list(bucketed_batches(iter(stream), specs, batch_size=2))
+    shapes = sorted(b["lip1"].shape[1] for b in batches)
+    assert shapes == [8, 8, 16]           # two small-bucket batches, one large
+    flushed = [b for b in batches if "num_real" in b]
+    assert len(flushed) == 1              # the small bucket's leftover flushes
+    assert int(flushed[0]["num_real"]) == 1
+    for b in batches:
+        assert b["lip1"].shape[0] == 2    # static batch dim everywhere
