@@ -52,20 +52,6 @@ class MultiSpeakerAVModel(nn.Module):
         # Shared contrastive projection (reference model/trainer.py:105-106).
         self.contrastive_proj = nn.Dense(cfg.contrastive.projection_dim, dtype=jnp.float32)
 
-    def _speaker_branch(self, visual_feat, audio, mask, lip_len, train):
-        last, middle, _ = self.audio_encoder(
-            audio, sample_mask=(mask != 3), deterministic=not train
-        )
-        T_enc = last.shape[1]
-        mask_ds = downsample_mask_to(mask, T_enc)
-        contrast_feat = self.contrastive_proj(middle.astype(jnp.float32))
-        fused, input_lengths = self.fusion(
-            visual_feat, last, mask_ds, visual_lengths=lip_len,
-            deterministic=not train,
-        )
-        log_probs = self.decoder(fused)
-        return log_probs, input_lengths, contrast_feat, mask_ds
-
     def __call__(self, lip1, lip2, audio, mask1, mask2,
                  lip1_len=None, lip2_len=None, train: bool = False):
         """Args use the reference batch-dict layouts (dataset/collate_fn.py:46-63):
@@ -74,15 +60,49 @@ class MultiSpeakerAVModel(nn.Module):
         Returns a dict of per-speaker outputs:
         ``log_probs{1,2} [B, T_v, V]``, ``input_lengths{1,2} [B]``,
         ``contrast{1,2} [B, T_enc, P]``, ``mask_ds{1,2} [B, T_enc]``.
-        """
-        v1 = self.visual_encoder(nchw_clip_to_channels_last(lip1), train)
-        v2 = self.visual_encoder(nchw_clip_to_channels_last(lip2), train)
 
-        lp1, il1, c1, md1 = self._speaker_branch(v1, audio, mask1, lip1_len, train)
-        lp2, il2, c2, md2 = self._speaker_branch(v2, audio, mask2, lip2_len, train)
+        Both speakers run as ONE ``[2B]`` batch through every shared-weight
+        module (the reference calls each module twice per step,
+        model/trainer.py:88-95): halves the number of sequential scans
+        (BiLSTM/CTC are serial in T) and doubles matmul arithmetic intensity.
+        Per-sample norms (GroupNorm/LayerNorm) are exactly equivalent to two
+        separate passes; train-mode BatchNorm computes statistics over the
+        joint 2B batch instead of per speaker (documented divergence — eval
+        mode uses running averages and is identical either way).  The fusion
+        interpolation grid (reference fusion_module.py:50-52 uses the *batch
+        max* kept length — already a batch-composition-dependent quirk) now
+        spans the joint 2B max rather than each speaker's own max.
+        """
+        B = lip1.shape[0]
+        lips = jnp.concatenate(
+            [nchw_clip_to_channels_last(lip1), nchw_clip_to_channels_last(lip2)], 0
+        )
+        v = self.visual_encoder(lips, train)
+
+        audio2 = jnp.concatenate([audio, audio], 0)
+        masks = jnp.concatenate([mask1, mask2], 0)
+        lens = None
+        if lip1_len is not None or lip2_len is not None:
+            T_v = lip1.shape[1]
+            l1 = lip1_len if lip1_len is not None else jnp.full((B,), T_v, jnp.int32)
+            l2 = lip2_len if lip2_len is not None else jnp.full((B,), T_v, jnp.int32)
+            lens = jnp.concatenate([l1, l2], 0)
+
+        last, middle, _ = self.audio_encoder(
+            audio2, sample_mask=(masks != 3), deterministic=not train
+        )
+        T_enc = last.shape[1]
+        mask_ds = downsample_mask_to(masks, T_enc)
+        contrast = self.contrastive_proj(middle.astype(jnp.float32))
+        fused, input_lengths = self.fusion(
+            v, last, mask_ds, visual_lengths=lens, deterministic=not train,
+        )
+        log_probs = self.decoder(fused)
         return {
-            "log_probs1": lp1, "input_lengths1": il1, "contrast1": c1, "mask_ds1": md1,
-            "log_probs2": lp2, "input_lengths2": il2, "contrast2": c2, "mask_ds2": md2,
+            "log_probs1": log_probs[:B], "input_lengths1": input_lengths[:B],
+            "contrast1": contrast[:B], "mask_ds1": mask_ds[:B],
+            "log_probs2": log_probs[B:], "input_lengths2": input_lengths[B:],
+            "contrast2": contrast[B:], "mask_ds2": mask_ds[B:],
         }
 
 

@@ -131,3 +131,27 @@ def test_bf16_forward_is_finite(cfg):
     lp, _ = model.apply(params, audio)
     assert lp.dtype == jnp.float32  # head forces f32 log-probs
     assert np.isfinite(np.asarray(lp)).all()
+
+
+def test_multispeaker_swap_symmetry(cfg):
+    """Swapping (lip1, mask1) with (lip2, mask2) must exactly swap the
+    per-speaker outputs (shared weights, batched-speaker forward)."""
+    rng = np.random.default_rng(3)
+    B, T, S = 2, 4, 3200
+    lip1 = jnp.asarray(rng.uniform(size=(B, T, 1, 24, 24)).astype(np.float32))
+    lip2 = jnp.asarray(rng.uniform(size=(B, T, 1, 24, 24)).astype(np.float32))
+    audio = jnp.asarray(rng.standard_normal((B, S)).astype(np.float32))
+    mask1 = jnp.asarray(rng.integers(0, 4, size=(B, S)))
+    mask2 = jnp.asarray(rng.integers(0, 4, size=(B, S)))
+    lens = jnp.asarray([T, T - 1])
+
+    model = MultiSpeakerAVModel(cfg.model)
+    params = model.init(jax.random.PRNGKey(0), lip1, lip2, audio, mask1, mask2, lens, lens)
+    a = model.apply(params, lip1, lip2, audio, mask1, mask2, lens, lens)
+    b = model.apply(params, lip2, lip1, audio, mask2, mask1, lens, lens)
+    np.testing.assert_allclose(np.asarray(a["log_probs1"]), np.asarray(b["log_probs2"]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(a["log_probs2"]), np.asarray(b["log_probs1"]),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(a["input_lengths1"]),
+                                  np.asarray(b["input_lengths2"]))
