@@ -29,9 +29,12 @@ class AudioFrontendConfig:
     log_eps: float = 1e-6
     center: bool = True               # torch.stft default used by torchaudio
     power: float = 2.0
-    use_pallas: bool = False          # fused Pallas kernel (TPU only); the
-                                      # frontend takes no gradient (waveform
-                                      # is a leaf), so no custom VJP needed
+    use_pallas: bool | None = None    # fused Pallas kernel: None = auto
+                                      # (True on TPU, False elsewhere — the
+                                      # production path uses the fused kernel
+                                      # on hardware, jnp under the CPU test
+                                      # mesh).  The frontend takes no gradient
+                                      # (waveform is a leaf), so no custom VJP
 
 
 @dataclass
@@ -131,6 +134,12 @@ class DataConfig:
     audio_samples_per_video_frame: int = 534  # ceil(16000 / 30) rounded to even
     max_label_len: int = 128
     prefetch_depth: int = 2
+    device_preprocess: bool = True    # preprocess raw media ON DEVICE (gray +
+                                      # fused resize + mixing + masks in one
+                                      # jit, data/device_pipeline.py) instead
+                                      # of in host Python — the production
+                                      # path; False = reference-style host
+                                      # preprocessing (load_pair)
     seed: int = 42                    # reference main.py:67
 
 
@@ -149,6 +158,12 @@ class TrainConfig:
     max_epochs: int = 50              # reference main.py:160
     early_stop_patience: int = 5      # reference main.py:142
     freeze_visual_trunk: bool = False # reference main.py:100-103 behaviour, opt-in
+    visual_init_ckpt: str = ""        # path to a visual-only (--family=visual)
+                                      # checkpoint; its visual_encoder subtree
+                                      # grafts into the flagship at startup —
+                                      # the reference's pretrained-visual-
+                                      # encoder load (main.py:94-103).
+                                      # Combine with freeze_visual_trunk.
     audio_trainable_layers: tuple[int, ...] | None = None
                                       # None → whole audio encoder trains at
                                       # audio_learning_rate; a tuple freezes
@@ -157,6 +172,10 @@ class TrainConfig:
                                       # unfreeze_middle_layers(6..9),
                                       # main.py:26-31,105-106)
     grad_clip_norm: float | None = None
+    check_finite: bool = True         # raise on NaN/inf metrics instead of
+                                      # training on silently (the reference
+                                      # swallows batch errors,
+                                      # model/trainer.py:162-164)
     checkpoint_dir: str = "checkpoints"
     log_every: int = 100              # reference model/trainer.py:125
     keep_checkpoints: int = 3
@@ -202,6 +221,8 @@ def _set_dotted(obj: Any, path: str, raw: str) -> None:
     elif current is None:
         if raw.lower() == "none":
             value = None
+        elif raw.lower() in ("true", "false", "yes", "no", "on", "off"):
+            value = raw.lower() in ("true", "yes", "on")
         elif raw.startswith("("):
             value = tuple(int(x) for x in raw.strip("()").split(",") if x)
         else:

@@ -19,24 +19,71 @@ stdlib can't parse; WAV needs none.
 from __future__ import annotations
 
 import math
+import struct
 import wave
 from collections import OrderedDict
 
 import numpy as np
 
 
+def _parse_wav_manual(path: str) -> tuple[int, int, int, int, bytes]:
+    """Minimal RIFF parser for formats the stdlib ``wave`` module rejects
+    (WAVE_FORMAT_IEEE_FLOAT = 3, and extensible variants).
+
+    Returns ``(format_code, n_channels, sample_rate, bits_per_sample, data)``.
+    """
+    with open(path, "rb") as f:
+        header = f.read(12)
+        if len(header) < 12 or header[:4] != b"RIFF" or header[8:12] != b"WAVE":
+            raise ValueError(f"not a RIFF/WAVE file: {path}")
+        fmt = data = None
+        while True:
+            head = f.read(8)
+            if len(head) < 8:
+                break
+            cid, size = struct.unpack("<4sI", head)
+            chunk = f.read(size)
+            if size % 2:
+                f.read(1)  # chunks are word-aligned
+            if cid == b"fmt ":
+                fmt = chunk
+            elif cid == b"data":
+                data = chunk
+    if fmt is None or data is None or len(fmt) < 16:
+        raise ValueError(f"missing fmt/data chunk in {path}")
+    code, n_channels, sr, _, _, bits = struct.unpack("<HHIIHH", fmt[:16])
+    if code == 0xFFFE and len(fmt) >= 26:  # WAVE_FORMAT_EXTENSIBLE
+        code = struct.unpack("<H", fmt[24:26])[0]  # SubFormat GUID leads with it
+    return code, n_channels, sr, bits, data
+
+
 def read_wav(path: str) -> tuple[np.ndarray, int]:
     """Decode a PCM/float WAV to float32 mono in [-1, 1]; returns (audio, sr)."""
-    with wave.open(path, "rb") as w:
-        sr = w.getframerate()
-        n_channels = w.getnchannels()
-        sampwidth = w.getsampwidth()
-        raw = w.readframes(w.getnframes())
-    if sampwidth == 2:
+    try:
+        with wave.open(path, "rb") as w:
+            sr = w.getframerate()
+            n_channels = w.getnchannels()
+            sampwidth = w.getsampwidth()
+            raw = w.readframes(w.getnframes())
+        # stdlib wave only accepts PCM (incl. extensible-PCM): 4-byte
+        # samples here are guaranteed int32, never float32.
+        fmt_code = 1
+    except wave.Error:
+        # Float WAVs (format 3) and other non-PCM formats land here.
+        fmt_code, n_channels, sr, bits, raw = _parse_wav_manual(path)
+        sampwidth = bits // 8
+    if fmt_code == 3:
+        if sampwidth == 4:
+            audio = np.frombuffer(raw, dtype="<f4").astype(np.float32)
+        elif sampwidth == 8:
+            audio = np.frombuffer(raw, dtype="<f8").astype(np.float32)
+        else:
+            raise ValueError(f"unsupported float sample width {sampwidth} in {path}")
+    elif fmt_code != 1:
+        raise ValueError(f"unsupported WAV format code {fmt_code} in {path}")
+    elif sampwidth == 2:
         audio = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
     elif sampwidth == 4:
-        # WAVE_FORMAT_IEEE_FLOAT is also 4-byte; stdlib wave reports PCM only,
-        # so treat 4-byte as int32 (the AI-Hub corpus is 16-bit PCM anyway).
         audio = np.frombuffer(raw, dtype="<i4").astype(np.float32) / 2147483648.0
     elif sampwidth == 3:
         b = np.frombuffer(raw, dtype=np.uint8).reshape(-1, 3)

@@ -21,6 +21,8 @@ standard beta recursion — no custom VJP needed for these sequence lengths.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -135,6 +137,7 @@ def ctc_loss_from_logits(logits, labels, input_lengths, label_lengths, blank_id=
     return ctc_loss(log_probs, labels, input_lengths, label_lengths, blank_id, **kw)
 
 
+@functools.partial(jax.jit, static_argnames=("blank_id", "pad_id"))
 def ctc_collapse(
     ids: jnp.ndarray,
     lengths: jnp.ndarray,
@@ -165,12 +168,18 @@ def ctc_collapse(
     return out, keep.sum(axis=1).astype(jnp.int32)
 
 
+@functools.partial(jax.jit, static_argnames=("blank_id", "pad_id"))
 def ctc_greedy_decode(
     log_probs: jnp.ndarray,
     lengths: jnp.ndarray,
     blank_id: int,
     pad_id: int = -1,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Greedy (best-path) decode: per-frame argmax + collapse, all on device."""
+    """Greedy (best-path) decode: per-frame argmax + collapse, all on device.
+
+    Jitted at the top level: called eagerly (serving path, infer.py) each op
+    would otherwise dispatch separately — pathological over a tunneled device
+    (round-1 decode.json showed greedy SLOWER than width-5 beam for exactly
+    this reason)."""
     ids = jnp.argmax(log_probs, axis=-1).astype(jnp.int32)
     return ctc_collapse(ids, lengths, blank_id, pad_id)

@@ -100,5 +100,8 @@ def pad_batch_to_multiple(batch: dict, multiple: int) -> dict:
             out[k] = v
         else:
             out[k] = np.concatenate([v, np.repeat(v[-1:], rem, axis=0)], axis=0)
+    if "valid" in out:
+        out["valid"] = out["valid"].copy()
+        out["valid"][b:] = 0.0
     out.setdefault("num_real", np.int32(b))
     return out

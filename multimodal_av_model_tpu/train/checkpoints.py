@@ -82,7 +82,11 @@ def graft_subtree(target: dict, source: dict, keys: list[str]) -> dict:
 
 
 class CheckpointManager:
-    """last / best-WER / best-loss rolling checkpoints + resume."""
+    """last / best-WER / best-loss rolling checkpoints + resume.
+
+    The best metrics persist in a sidecar ``best.json`` so a resumed run does
+    not clobber ``best_*.ckpt`` with a worse epoch (a fresh manager would
+    otherwise reset them to inf on construction)."""
 
     def __init__(self, directory: str):
         self.dir = directory
@@ -90,8 +94,27 @@ class CheckpointManager:
         self.last = os.path.join(directory, "last.ckpt")
         self.best_wer = os.path.join(directory, "best_wer.ckpt")
         self.best_loss = os.path.join(directory, "best_loss.ckpt")
+        self._best_path = os.path.join(directory, "best.json")
         self._best_wer = float("inf")
         self._best_loss = float("inf")
+        if os.path.isfile(self._best_path):
+            import json
+
+            try:
+                with open(self._best_path) as f:
+                    best = json.load(f)
+                self._best_wer = float(best.get("best_wer", float("inf")))
+                self._best_loss = float(best.get("best_loss", float("inf")))
+            except (ValueError, OSError):
+                pass  # unreadable sidecar: fall back to fresh bests
+
+    def _save_best(self) -> None:
+        import json
+
+        tmp = self._best_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"best_wer": self._best_wer, "best_loss": self._best_loss}, f)
+        os.replace(tmp, self._best_path)
 
     def on_epoch_end(self, tree: Any, eval_loss: float, eval_wer: float) -> dict:
         save_checkpoint(self.last, tree)
@@ -104,6 +127,8 @@ class CheckpointManager:
             self._best_loss = eval_loss
             save_checkpoint(self.best_loss, tree)
             saved["best_loss"] = True
+        if saved["best_wer"] or saved["best_loss"]:
+            self._save_best()
         return saved
 
     def try_resume(self, template: Any = None) -> Any | None:

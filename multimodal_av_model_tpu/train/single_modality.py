@@ -44,27 +44,43 @@ class SingleModalityTrainer:
         return {"params": params, "opt_state": self._tx.init(params),
                 "batch_stats": variables.get("batch_stats", {}), "rng": state_key}
 
-    def _loss(self, params, batch, train: bool, rng=None):
+    def _loss(self, params, batch_stats, batch, train: bool, rng=None):
+        """Threads ``batch_stats`` through apply exactly like
+        MultiSpeakerTrainer._losses — the default visual config uses BatchNorm
+        (config.py visual.norm='batch', reference model/encoder.py:57-75), which
+        needs the collection present and mutable in train mode."""
+        variables = {"params": params}
+        if batch_stats:
+            variables["batch_stats"] = batch_stats
         kwargs = {"rngs": {"dropout": rng}} if (train and rng is not None) else {}
-        lp, il = self.model.apply({"params": params}, batch["inputs"],
-                                  batch["meta"], train=train, **kwargs)
+        if train:
+            (lp, il), new_vars = self.model.apply(
+                variables, batch["inputs"], batch["meta"], train=True,
+                mutable=["batch_stats"] if batch_stats else [], **kwargs)
+            new_stats = new_vars.get("batch_stats", batch_stats)
+        else:
+            lp, il = self.model.apply(variables, batch["inputs"], batch["meta"],
+                                      train=False, **kwargs)
+            new_stats = batch_stats
         blank = self.config.model.decoder.blank_id
         loss = ctc_loss(lp, batch["labels"], il, batch["label_lengths"], blank)
-        return loss, (lp, il)
+        return loss, (lp, il, new_stats)
 
     @property
     def train_step(self):
         if self._step is None:
             def step(state, batch):
                 rng, step_rng = jax.random.split(state["rng"])
-                (loss, _), grads = jax.value_and_grad(
-                    lambda p: self._loss(p, batch, True, step_rng), has_aux=True
+                (loss, (_, _, new_stats)), grads = jax.value_and_grad(
+                    lambda p: self._loss(p, state["batch_stats"], batch, True,
+                                         step_rng),
+                    has_aux=True,
                 )(state["params"])
                 updates, opt_state = self._tx.update(grads, state["opt_state"])
                 return {
                     "params": optax.apply_updates(state["params"], updates),
                     "opt_state": opt_state,
-                    "batch_stats": state["batch_stats"],
+                    "batch_stats": new_stats,
                     "rng": rng,
                 }, loss
 
@@ -74,11 +90,13 @@ class SingleModalityTrainer:
     @property
     def eval_forward(self):
         if self._eval is None:
-            self._eval = jax.jit(
-                lambda p, inputs, meta: self.model.apply(
-                    {"params": p}, inputs, meta, train=False
-                )
-            )
+            def fwd(params, batch_stats, inputs, meta):
+                variables = {"params": params}
+                if batch_stats:
+                    variables["batch_stats"] = batch_stats
+                return self.model.apply(variables, inputs, meta, train=False)
+
+            self._eval = jax.jit(fwd)
         return self._eval
 
     def evaluate(self, batches: Iterable[dict], state, use_beam: bool = True):
@@ -86,7 +104,8 @@ class SingleModalityTrainer:
         total, n = 0.0, 0
         blank = self.config.model.decoder.blank_id
         for batch in batches:
-            lp, il = self.eval_forward(state["params"], batch["inputs"], batch["meta"])
+            lp, il = self.eval_forward(state["params"], state["batch_stats"],
+                                       batch["inputs"], batch["meta"])
             loss = ctc_loss(lp, batch["labels"], il, batch["label_lengths"], blank)
             total += float(loss)
             n += 1
@@ -104,17 +123,27 @@ class SingleModalityTrainer:
         return total / max(n, 1), wer(refs, hyps), cer(refs, hyps)
 
     def fit(self, state, train_factory: Callable, val_factory: Callable,
-            log_fn=print):
+            log_fn=print, start_epoch: int = 1):
+        from .checkpoints import CheckpointManager
+        from .profiling import check_finite
+
         tcfg = self.config.train
-        for epoch in range(1, tcfg.max_epochs + 1):
+        ckpts = CheckpointManager(tcfg.checkpoint_dir) if tcfg.checkpoint_dir else None
+        for epoch in range(start_epoch, tcfg.max_epochs + 1):
             total, n = 0.0, 0
             for batch in train_factory():
                 state, loss = self.train_step(state, batch)
-                total += float(loss)
+                loss = float(loss)
+                if tcfg.check_finite:
+                    check_finite({"loss": loss}, step=n)
+                total += loss
                 n += 1
             eval_loss, eval_wer, eval_cer = self.evaluate(val_factory(), state)
             log_fn(f"[epoch {epoch}] train_loss={total / max(n,1):.4f} "
                    f"eval_loss={eval_loss:.4f} wer={eval_wer:.3f} cer={eval_cer:.3f}")
+            if ckpts is not None:
+                ckpts.on_epoch_end({"state": jax.device_get(state), "epoch": epoch},
+                                   eval_loss, eval_wer)
         return state
 
 

@@ -38,6 +38,7 @@ from ..ops.ctc import ctc_greedy_decode, ctc_loss
 from ..ops.metrics import cer, wer
 from .checkpoints import CheckpointManager
 from .logging_utils import CsvLogger, StepTimer
+from .profiling import check_finite
 
 
 class TrainState(struct.PyTreeNode):
@@ -130,6 +131,14 @@ class MultiSpeakerTrainer:
         )
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
+        if self.mesh is not None:
+            # Explicit placement over the mesh: wide Conformer layers shard
+            # over the `model` axis (tensor parallel), everything else
+            # replicates; jit propagates from there.
+            from ..parallel import replicate_tree, shard_params
+
+            params = shard_params(self.mesh, params)
+            batch_stats = replicate_tree(self.mesh, batch_stats)
         self._tx = make_optimizer(self.config, params, self.frozen_prefixes)
         return TrainState(
             step=jnp.zeros((), jnp.int32),
@@ -162,21 +171,41 @@ class MultiSpeakerTrainer:
             new_stats = new_stats["batch_stats"]
         ccfg = self.config.model.contrastive
         blank = self.config.model.decoder.blank_id
-        con1 = contrastive_loss_with_mask(out["contrast1"], out["mask_ds1"],
+        valid = batch.get("valid")
+        mask_ds1, mask_ds2 = out["mask_ds1"], out["mask_ds2"]
+        if valid is not None:
+            # Flush batches pad to full size by duplicating rows; those rows
+            # carry valid=0.  Their frames become pad (3) so the contrastive
+            # loss ignores them, and their CTC losses get zero weight below —
+            # a flush batch then yields the same loss as its unpadded batch.
+            row_ok = valid > 0
+            mask_ds1 = jnp.where(row_ok[:, None], mask_ds1, 3)
+            mask_ds2 = jnp.where(row_ok[:, None], mask_ds2, 3)
+        con1 = contrastive_loss_with_mask(out["contrast1"], mask_ds1,
                                           ccfg.temperature, ccfg.weight_pos_align,
                                           ccfg.weight_neg_suppress)
-        con2 = contrastive_loss_with_mask(out["contrast2"], out["mask_ds2"],
+        con2 = contrastive_loss_with_mask(out["contrast2"], mask_ds2,
                                           ccfg.temperature, ccfg.weight_pos_align,
                                           ccfg.weight_neg_suppress)
+
+        def weighted_ctc(lp, labels, il, ll):
+            # torch 'mean' semantics (per-sample loss / label length, then
+            # batch mean) with valid-row weighting.
+            per = ctc_loss(lp, labels, il, ll, blank, reduction="none")
+            per = per / jnp.maximum(ll, 1).astype(jnp.float32)
+            if valid is None:
+                return per.mean()
+            return (per * valid).sum() / jnp.maximum(valid.sum(), 1.0)
+
         if self.config.train.contrastive_only:
             # AV-alignment pretraining (BASELINE config 4): no CTC term.
             ctc1 = ctc2 = jnp.zeros((), jnp.float32)
             total = (con1 + con2) / 2
         else:
-            ctc1 = ctc_loss(out["log_probs1"], batch["text1"], out["input_lengths1"],
-                            batch["text1_lengths"], blank)
-            ctc2 = ctc_loss(out["log_probs2"], batch["text2"], out["input_lengths2"],
-                            batch["text2_lengths"], blank)
+            ctc1 = weighted_ctc(out["log_probs1"], batch["text1"],
+                                out["input_lengths1"], batch["text1_lengths"])
+            ctc2 = weighted_ctc(out["log_probs2"], batch["text2"],
+                                out["input_lengths2"], batch["text2_lengths"])
             lam = self.config.train.lambda_contrastive
             total = (ctc1 + ctc2) / 2 + lam * (con1 + con2) / 2
         metrics = {"loss": total, "ctc1": ctc1, "ctc2": ctc2,
@@ -238,12 +267,18 @@ class MultiSpeakerTrainer:
     # -- host orchestration ----------------------------------------------------
 
     def _place(self, batch: dict) -> dict:
-        batch = {k: v for k, v in batch.items() if k != "num_real"}
         if self.mesh is not None:
-            from ..parallel import shard_batch
+            from ..parallel import DATA_AXIS, pad_batch_to_multiple, shard_batch
 
+            # The data axis needs a divisible batch; padded rows get valid=0
+            # so they contribute nothing to the loss.
+            batch = pad_batch_to_multiple(
+                {k: np.asarray(v) for k, v in batch.items()},
+                self.mesh.shape[DATA_AXIS],
+            )
+            batch = {k: v for k, v in batch.items() if k != "num_real"}
             return shard_batch(self.mesh, batch)
-        return batch
+        return {k: v for k, v in batch.items() if k != "num_real"}
 
     def train_epoch(self, batches: Iterable[dict], log_every: int | None = None,
                     log_fn: Callable[[str], None] = print, state: TrainState | None = None):
@@ -252,10 +287,13 @@ class MultiSpeakerTrainer:
         timer = StepTimer()
         total, n = 0.0, 0
         sr = self.config.data.sample_rate
+        guard = self.config.train.check_finite
         for i, batch in enumerate(batches):
             placed = self._place(batch)
             state, metrics = self.train_step(state, placed)
             loss = float(metrics["loss"])
+            if guard:
+                check_finite({"loss": loss}, step=i)
             total += loss
             n += 1
             timer.tick(batch["audio"].shape[0],
