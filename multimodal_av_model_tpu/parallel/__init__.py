@@ -7,6 +7,7 @@ from .mesh import (
     replicated,
     shard_batch,
 )
+from .tp import replicate_tree, shard_params, tp_param_specs
 
 __all__ = [
     "DATA_AXIS",
@@ -15,5 +16,8 @@ __all__ = [
     "make_mesh",
     "pad_batch_to_multiple",
     "replicated",
+    "replicate_tree",
     "shard_batch",
+    "shard_params",
+    "tp_param_specs",
 ]
