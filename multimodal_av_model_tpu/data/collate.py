@@ -62,6 +62,37 @@ def _pad_to(arr: np.ndarray, length: int, value=0) -> np.ndarray:
     return np.pad(arr, pad, constant_values=value)
 
 
+def collate_pairs_raw(samples: list[dict], spec: BucketSpec) -> dict[str, np.ndarray]:
+    """Collate RAW pair samples (``load_pair_raw``) for the on-device
+    preprocessing path (data/device_pipeline.py): unprocessed lip frames and
+    per-speaker waveforms; mixing/masking/resize happen on device."""
+    B = len(samples)
+    Tv, S, L = spec.video_frames, spec.audio_samples, spec.label_len
+
+    def stack(key, length, dtype=None):
+        out = np.stack([_pad_to(np.asarray(s[key]), length) for s in samples])
+        return out.astype(dtype) if dtype is not None else out
+
+    batch = {
+        # Source dtype preserved (uint8 crops): 4x smaller host->device
+        # transfer than float32; the device pipeline casts on chip.
+        "lip1_raw": stack("lip1_raw", Tv),
+        "lip2_raw": stack("lip2_raw", Tv),
+        "lip1_lengths": np.array([min(s["lip1_raw"].shape[0], Tv) for s in samples], np.int32),
+        "lip2_lengths": np.array([min(s["lip2_raw"].shape[0], Tv) for s in samples], np.int32),
+        "audio1": stack("audio1", S, dtype=np.float32),
+        "audio2": stack("audio2", S, dtype=np.float32),
+        "audio1_len": np.array([min(len(s["audio1"]), S) for s in samples], np.int32),
+        "audio2_len": np.array([min(len(s["audio2"]), S) for s in samples], np.int32),
+        "text1": stack("label1", L, dtype=np.int32),
+        "text1_lengths": np.array([min(len(s["label1"]), L) for s in samples], np.int32),
+        "text2": stack("label2", L, dtype=np.int32),
+        "text2_lengths": np.array([min(len(s["label2"]), L) for s in samples], np.int32),
+        "valid": np.ones((B,), np.float32),
+    }
+    return batch
+
+
 def collate_pairs(samples: list[dict], spec: BucketSpec) -> dict[str, np.ndarray]:
     """Collate per-pair sample dicts (the output of ``load_pair``-style loaders)
     into one fixed-shape batch dict."""
@@ -85,6 +116,10 @@ def collate_pairs(samples: list[dict], spec: BucketSpec) -> dict[str, np.ndarray
         "audio_lengths": np.array([min(len(s["audio"]), S) for s in samples], np.int32),
         "mask1": stack("mask1", S, value=MASK_PAD, dtype=np.int32),
         "mask2": stack("mask2", S, value=MASK_PAD, dtype=np.int32),
+        # Per-row validity weight: 1 for real samples, 0 for flush-batch
+        # padding rows (set by bucketed_batches).  The jitted loss weights
+        # rows by this so duplicated flush rows contribute nothing.
+        "valid": np.ones((B,), np.float32),
     }
     assert batch["lip1"].shape == (B, Tv) + tuple(np.asarray(samples[0]["lip1"]).shape[1:])
     return batch

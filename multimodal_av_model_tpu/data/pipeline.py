@@ -96,6 +96,33 @@ class FilePairSource:
             "lip2_len": lip2.shape[0],
         }
 
+    def load_pair_raw(self, s1, s2) -> dict:
+        """Raw variant for the on-device preprocessing path: per-speaker
+        waveforms and unprocessed lip frames; mixing/masking/gray/resize all
+        happen on device (data/device_pipeline.py).  Host work = decode only."""
+        a1 = self._wavs.load_segment(s1["audio_path"], s1["start_time"], s1["end_time"])
+        a2 = self._wavs.load_segment(s2["audio_path"], s2["start_time"], s2["end_time"])
+
+        def raw_lips(path):
+            lips = np.load(path)
+            if lips.ndim == 3:                    # grayscale [T, H, W]
+                lips = lips[..., None]
+            if lips.shape[0] == 0:
+                raise RuntimeError("empty lip clip")
+            return lips
+
+        lip1, lip2 = raw_lips(s1["lip_path"]), raw_lips(s2["lip_path"])
+        return {
+            "audio1": a1,
+            "audio2": a2,
+            "lip1_raw": lip1,
+            "label1": self._label(s1),
+            "lip1_len": lip1.shape[0],
+            "lip2_raw": lip2,
+            "label2": self._label(s2),
+            "lip2_len": lip2.shape[0],
+        }
+
 
 class SyntheticPairSource:
     """Deterministic synthetic pairs with realistic shapes — used by tests,
@@ -152,20 +179,28 @@ def bucketed_batches(
     specs: Sequence[BucketSpec],
     batch_size: int,
     drop_last: bool = False,
+    collate_fn: Callable = collate_pairs,
 ) -> Iterator[dict]:
     """Group samples by bucket and emit fixed-shape batches.
 
     Each sample joins the smallest bucket that fits its video/audio length;
     a batch is emitted when its bucket fills.  Leftovers flush at the end
     (padded to full batch by repeating the last sample, keeping shapes static)
-    unless ``drop_last``.
+    unless ``drop_last``.  ``collate_fn`` selects the layout (processed
+    ``collate_pairs`` or raw ``collate_pairs_raw``).
     """
+
+    def lengths(sample):
+        if "audio" in sample:
+            return sample["lip1_len"], len(sample["audio"])
+        return sample["lip1_len"], max(len(sample["audio1"]), len(sample["audio2"]))
+
     pending: dict[BucketSpec, list[dict]] = {s: [] for s in specs}
     for sample in sample_iter:
-        spec = pick_bucket(specs, sample["lip1_len"], len(sample["audio"]))
+        spec = pick_bucket(specs, *lengths(sample))
         pending[spec].append(sample)
         if len(pending[spec]) == batch_size:
-            yield collate_pairs(pending[spec], spec)
+            yield collate_fn(pending[spec], spec)
             pending[spec] = []
     if not drop_last:
         for spec, samples in pending.items():
@@ -173,8 +208,11 @@ def bucketed_batches(
                 n_real = len(samples)
                 while len(samples) < batch_size:
                     samples.append(samples[-1])
-                batch = collate_pairs(samples, spec)
+                batch = collate_fn(samples, spec)
                 batch["num_real"] = np.int32(n_real)
+                # Padding rows carry zero loss weight (train + eval) so the
+                # duplicated sample is not over-weighted.
+                batch["valid"][n_real:] = 0.0
                 yield batch
 
 

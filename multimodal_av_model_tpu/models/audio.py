@@ -118,8 +118,13 @@ class AudioEncoder(nn.Module):
 
         # Frontend (f32 features, then cast to compute dtype).  No gradient
         # flows through it (waveform is a data leaf), so the fused Pallas
-        # kernel slots in without a custom VJP.
-        if fe.use_pallas:
+        # kernel slots in without a custom VJP.  use_pallas=None → auto:
+        # the fused kernel is the production default on TPU hardware.
+        use_pallas = (
+            fe.use_pallas if fe.use_pallas is not None
+            else jax.default_backend() == "tpu"
+        )
+        if use_pallas:
             from ..ops.pallas.logmel_kernel import log_mel_spectrogram_pallas
 
             mel = jax.lax.stop_gradient(
