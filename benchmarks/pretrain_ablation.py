@@ -1,19 +1,28 @@
 #!/usr/bin/env python
-"""Pretraining ablation: demonstrate the wav2vec2 substitute (BASELINE
-config 4 / VERDICT r1 missing #1).
+"""Pretraining ablation: demonstrate the wav2vec2 substitute.
 
 The reference's audio features come from a 317M-param pretrained wav2vec2
-(reference model/encoder.py:83-100); our stand-in is contrastive-only
-AV-alignment pretraining (``train.contrastive_only``).  This experiment runs
-on structured synthetic pairs (data/structured.py — tone-per-token audio,
-grating-per-token video) and measures:
+(reference model/encoder.py:83-100).  This framework offers two pretraining
+paths for its own audio encoder; the experiment compares both against
+from-scratch training on structured synthetic pairs (data/structured.py —
+tone-per-token audio, grating-per-token video):
 
-  (a) PROBE: nearest-centroid accuracy classifying overlap vs solo frames
-      from the contrastive features — pretrained vs randomly-initialized
-      encoder (the classes the masked InfoNCE organizes);
-  (b) FINETUNE: full-loss training (CTC + λ·contrastive) from the pretrained
-      audio encoder vs from scratch — eval CER on held-out pairs at fixed
-      step checkpoints, and steps to reach a CER target.
+  arm A  from scratch (no pretraining);
+  arm B  reference-parity contrastive-only pretraining (the auxiliary masked
+         speaker-contrastive loss run alone, train.contrastive_only —
+         BASELINE config 4);
+  arm C  masked-span InfoNCE SSL (ops/ssl.py + train/ssl_pretrain.py — the
+         actual wav2vec 2.0 objective class, label-free).
+
+Measurements:
+  (a) PROBE — nearest-centroid accuracy classifying WHICH TOKEN (tone) is
+      sounding at solo frames, from the encoder's middle features: does
+      pretraining make content linearly recoverable (the property the
+      reference buys from wav2vec2)?  Also reports the overlap-vs-solo
+      probe: the reference-style contrastive alignment term *merges* those
+      classes by design, so lower is expected for arm B.
+  (b) FINETUNE — full-loss AV training from each init; eval CER on held-out
+      pairs at fixed step checkpoints + steps to a CER target.
 
 Writes benchmarks/pretrain_ablation.json.
 """
@@ -32,7 +41,8 @@ FINETUNE_STEPS = 600
 EVAL_EVERY = 100
 BATCH = 8
 CER_TARGET = 0.5
-BUCKET_FRAMES = 28  # max 7 tokens x 4 frames
+BUCKET_FRAMES = 28        # max 7 tokens x 4 frames
+SAMPLES_PER_TOKEN = 534 * 4
 
 
 def make_config():
@@ -72,29 +82,38 @@ def batch_stream(tok, seed, n_batches):
     return list(bucketed_batches(it, [spec], BATCH, drop_last=True))
 
 
-def probe_accuracy(trainer, state, batches):
-    from multimodal_av_model_tpu.train.probe import (
-        collect_frame_features,
-        nearest_centroid_probe,
-        overlap_vs_solo_labels,
-    )
+def solo_frame_token_labels(batch, t_enc):
+    """Token id audible at each encoder frame (solo frames only, -1 else).
 
-    outs = []
-    for b in batches:
-        _, out = trainer.eval_step(state, trainer._place(b))
-        outs.append({k: np.asarray(v) for k, v in out.items()
-                     if k.startswith(("contrast", "mask_ds"))})
-    feats, masks = collect_frame_features(outs, speaker=1)
-    return nearest_centroid_probe(feats, overlap_vs_solo_labels(masks))
+    Both utterances start at t=0 and advance one token every
+    SAMPLES_PER_TOKEN samples, so the sounding token follows directly from
+    the per-speaker masks (mask1: 2 = utt1 solo, 0 = utt2 solo)."""
+    S = batch["audio"].shape[1]
+    pos = np.arange(S)
+    seg = pos // SAMPLES_PER_TOKEN
+
+    def tok_at(text):
+        return text[:, np.clip(seg, 0, text.shape[1] - 1)]   # [B, S]
+
+    m1 = np.asarray(batch["mask1"])
+    lab = np.where(m1 == 2, tok_at(np.asarray(batch["text1"])),
+                   np.where(m1 == 0, tok_at(np.asarray(batch["text2"])), -1))
+    idx = (np.arange(t_enc) * S) // t_enc   # same anchor rule as downsample_mask_to
+    return lab[:, idx]
 
 
 def main():
     import jax
 
     from multimodal_av_model_tpu.models import MultiSpeakerAVModel
+    from multimodal_av_model_tpu.models.audio import AudioEncoder
     from multimodal_av_model_tpu.text import CharTokenizer
     from multimodal_av_model_tpu.train import MultiSpeakerTrainer, graft_subtree
-    from multimodal_av_model_tpu.train.trainer import TrainState
+    from multimodal_av_model_tpu.train.probe import nearest_centroid_probe
+    from multimodal_av_model_tpu.train.ssl_pretrain import (
+        MaskedAudioPretrainer,
+        flagship_audio_params,
+    )
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     tok = CharTokenizer(os.path.join(root, "assets", "tokenizer800.vocab"))
@@ -104,45 +123,92 @@ def main():
     val_batches = batch_stream(tok, seed=99, n_batches=4)
     probe_batches = batch_stream(tok, seed=123, n_batches=4)
 
-    # -- stage 1: contrastive-only pretraining --------------------------------
     cfg = make_config()
     cfg.model.decoder.vocab_size = tok.vocab_size
-    cfg.train.contrastive_only = True
-    model = MultiSpeakerAVModel(cfg.model)
-    pre_trainer = MultiSpeakerTrainer(cfg, model, tok)
-    state = pre_trainer.init_state(0, pre_batches[0])
-    random_params = jax.device_get(state.params)
+
+    # -- middle-feature extractor (shared across arms) -------------------------
+    enc = AudioEncoder(cfg.model.audio, cfg.model.frontend)
+
+    @jax.jit
+    def middle_features(audio_params, audio, sample_mask):
+        _, middle, valid, _ = enc.apply({"params": audio_params}, audio, sample_mask)
+        return middle, valid
+
+    def probes(audio_params):
+        feats, tok_labels, ov_labels = [], [], []
+        for b in probe_batches:
+            middle, _ = middle_features(audio_params, b["audio"], b["mask1"] != 3)
+            middle = np.asarray(middle, np.float32)
+            t_enc = middle.shape[1]
+            lab = solo_frame_token_labels(b, t_enc)
+            S = b["audio"].shape[1]
+            idx = (np.arange(t_enc) * S) // t_enc
+            m_ds = np.asarray(b["mask1"])[:, idx]
+            keep = m_ds != 3
+            feats.append(middle[keep])
+            tok_labels.append(lab[keep])
+            ov_labels.append((m_ds[keep] == 1).astype(np.int32))
+        feats = np.concatenate(feats)
+        tok_labels = np.concatenate(tok_labels)
+        ov_labels = np.concatenate(ov_labels)
+        solo = tok_labels >= 0
+        return {
+            "token_id_on_solo": round(
+                nearest_centroid_probe(feats[solo], tok_labels[solo]), 4),
+            "overlap_vs_solo": round(
+                nearest_centroid_probe(feats, ov_labels), 4),
+        }
+
+    # -- arm B: reference-parity contrastive-only pretraining -------------------
+    cfg_b = make_config()
+    cfg_b.model.decoder.vocab_size = tok.vocab_size
+    cfg_b.train.contrastive_only = True
+    trainer_b = MultiSpeakerTrainer(cfg_b, MultiSpeakerAVModel(cfg_b.model), tok)
+    state_b = trainer_b.init_state(0, pre_batches[0])
+    random_audio_params = jax.device_get(state_b.params)["audio_encoder"]
 
     t0 = time.time()
     for i in range(PRETRAIN_STEPS):
-        state, metrics = pre_trainer.train_step(
-            state, pre_trainer._place(pre_batches[i % len(pre_batches)]))
-    pre_loss = float(metrics["loss"])
-    print(f"pretrain: {PRETRAIN_STEPS} steps, final contrastive loss "
-          f"{pre_loss:.4f} ({time.time() - t0:.0f}s)", flush=True)
+        state_b, mB = trainer_b.train_step(
+            state_b, trainer_b._place(pre_batches[i % len(pre_batches)]))
+    loss_b = float(mB["loss"])
+    print(f"arm B (contrastive-only): {PRETRAIN_STEPS} steps, loss {loss_b:.4f} "
+          f"({time.time() - t0:.0f}s)", flush=True)
+    params_b = jax.device_get(state_b.params)
 
-    # -- probe: pretrained vs random features ----------------------------------
-    acc_pre = probe_accuracy(pre_trainer, state, probe_batches)
-    rand_state = state.replace(params=random_params)
-    acc_rand = probe_accuracy(pre_trainer, rand_state, probe_batches)
-    print(f"probe overlap-vs-solo: pretrained={acc_pre:.3f} random={acc_rand:.3f}",
-          flush=True)
-    pretrained_params = jax.device_get(state.params)
+    # -- arm C: masked-span InfoNCE SSL -----------------------------------------
+    cfg_c = make_config()
+    cfg_c.model.decoder.vocab_size = tok.vocab_size
+    ssl = MaskedAudioPretrainer(cfg_c)
+    ssl_state = ssl.init_state(0, pre_batches[0])
+    t0 = time.time()
+    stream = (pre_batches[i % len(pre_batches)] for i in range(PRETRAIN_STEPS))
+    ssl_state = ssl.fit(ssl_state, stream, log_every=200)
+    loss_c = ssl_state["last_loss"]
+    print(f"arm C (masked InfoNCE SSL): {PRETRAIN_STEPS} steps, loss {loss_c:.4f} "
+          f"({time.time() - t0:.0f}s)", flush=True)
+    params_c = {"audio_encoder":
+                flagship_audio_params(jax.device_get(ssl_state["params"]))}
 
-    # -- stage 2: finetune A/B --------------------------------------------------
-    def finetune(init_from):
+    probe_results = {
+        "random_init": probes(random_audio_params),
+        "contrastive_only": probes(params_b["audio_encoder"]),
+        "masked_infonce_ssl": probes(params_c["audio_encoder"]),
+    }
+    print("probes:", json.dumps(probe_results), flush=True)
+
+    # -- finetune arms -----------------------------------------------------------
+    def finetune(graft_source, keys):
         cfg_ft = make_config()
         cfg_ft.model.decoder.vocab_size = tok.vocab_size
-        model_ft = MultiSpeakerAVModel(cfg_ft.model)
-        trainer = MultiSpeakerTrainer(cfg_ft, model_ft, tok)
+        trainer = MultiSpeakerTrainer(cfg_ft, MultiSpeakerAVModel(cfg_ft.model), tok)
         st = trainer.init_state(1, ft_batches[0])
-        if init_from is not None:
-            grafted = graft_subtree(jax.device_get(st.params), init_from,
-                                    ["audio_encoder", "contrastive_proj"])
-            st = st.replace(params=grafted)
+        if graft_source is not None:
+            st = st.replace(params=graft_subtree(
+                jax.device_get(st.params), graft_source, keys))
         curve = []
         for i in range(FINETUNE_STEPS):
-            st, m = trainer.train_step(st, trainer._place(ft_batches[i % len(ft_batches)]))
+            st, _ = trainer.train_step(st, trainer._place(ft_batches[i % len(ft_batches)]))
             if (i + 1) % EVAL_EVERY == 0:
                 loss, wer, cer, _ = trainer.evaluate(val_batches, st, use_beam=False)
                 curve.append({"step": i + 1, "eval_loss": round(loss, 4),
@@ -150,10 +216,12 @@ def main():
                 print(f"  step {i+1}: loss={loss:.3f} cer={cer:.3f}", flush=True)
         return curve
 
-    print("finetune from pretrained:", flush=True)
-    curve_pre = finetune(pretrained_params)
     print("finetune from scratch:", flush=True)
-    curve_scratch = finetune(None)
+    curve_a = finetune(None, [])
+    print("finetune from contrastive-only:", flush=True)
+    curve_b = finetune(params_b, ["audio_encoder", "contrastive_proj"])
+    print("finetune from masked-InfoNCE SSL:", flush=True)
+    curve_c = finetune(params_c, ["audio_encoder"])
 
     def steps_to(curve, target):
         for p in curve:
@@ -163,14 +231,17 @@ def main():
 
     result = {
         "pretrain_steps": PRETRAIN_STEPS,
-        "pretrain_final_contrastive_loss": round(pre_loss, 4),
-        "probe_overlap_vs_solo_acc": {"pretrained": round(acc_pre, 4),
-                                      "random_init": round(acc_rand, 4)},
-        "finetune": {"from_pretrained": curve_pre, "from_scratch": curve_scratch},
+        "pretrain_final_loss": {"contrastive_only": round(loss_b, 4),
+                                "masked_infonce_ssl": round(loss_c, 4)},
+        "probe_acc": probe_results,
+        "finetune": {"from_scratch": curve_a,
+                     "from_contrastive_only": curve_b,
+                     "from_masked_infonce_ssl": curve_c},
         "steps_to_cer": {
             "target": CER_TARGET,
-            "from_pretrained": steps_to(curve_pre, CER_TARGET),
-            "from_scratch": steps_to(curve_scratch, CER_TARGET),
+            "from_scratch": steps_to(curve_a, CER_TARGET),
+            "from_contrastive_only": steps_to(curve_b, CER_TARGET),
+            "from_masked_infonce_ssl": steps_to(curve_c, CER_TARGET),
         },
     }
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -164,6 +164,16 @@ class TrainConfig:
                                       # the reference's pretrained-visual-
                                       # encoder load (main.py:94-103).
                                       # Combine with freeze_visual_trunk.
+    audio_init_ckpt: str = ""         # path to an SSL (--family=ssl)
+                                      # checkpoint; its audio_encoder subtree
+                                      # grafts into the flagship — the
+                                      # reference's pretrained-wav2vec2 load
+                                      # (model/encoder.py:83).  Combine with
+                                      # audio_trainable_layers for the partial
+                                      # unfreeze (reference main.py:26-31).
+    ssl_mask_prob: float = 0.065      # wav2vec2-style span-mask start prob
+    ssl_mask_span: int = 10           # span length in encoder frames
+    ssl_temperature: float = 0.1      # masked-InfoNCE temperature
     audio_trainable_layers: tuple[int, ...] | None = None
                                       # None → whole audio encoder trains at
                                       # audio_learning_rate; a tuple freezes

@@ -110,6 +110,32 @@ def build_data(cfg, tokenizer, synthetic: bool, device_put: bool = True):
             make_factory(val_sampler, cfg.train.eval_batch_size))
 
 
+def run_ssl_pretrain(cfg, tokenizer, synthetic: bool) -> None:
+    """Self-supervised audio-encoder pretraining (the wav2vec2 replacement,
+    train/ssl_pretrain.py): masked-span InfoNCE over mixture audio.  The
+    checkpoint's audio_encoder subtree grafts into the flagship via
+    ``train.audio_init_ckpt``."""
+    import jax
+
+    from .train.checkpoints import CheckpointManager, save_checkpoint
+    from .train.ssl_pretrain import MaskedAudioPretrainer
+
+    train_factory, _ = build_data(cfg, tokenizer, synthetic, device_put=False)
+    ssl = MaskedAudioPretrainer(
+        cfg, mask_prob=cfg.train.ssl_mask_prob, span=cfg.train.ssl_mask_span,
+        temperature=cfg.train.ssl_temperature,
+    )
+    state = ssl.init_state(cfg.data.seed, next(iter(train_factory())))
+    ckpts = CheckpointManager(cfg.train.checkpoint_dir)
+    for epoch in range(1, cfg.train.max_epochs + 1):
+        state = ssl.fit(state, train_factory(), log_every=cfg.train.log_every)
+        print(f"[ssl epoch {epoch}] infonce={state['last_loss']:.4f}")
+        save_checkpoint(ckpts.last, {
+            "state": {"params": jax.device_get(state["params"])},
+            "epoch": epoch,
+        })
+
+
 def run_single_modality(cfg, tokenizer, family: str, synthetic: bool) -> None:
     """Audio-only / video-only CTC training (BASELINE configs 1-2)."""
     from .train.single_modality import (
@@ -170,8 +196,8 @@ def main(argv: list[str] | None = None) -> None:
         if a.startswith("--family="):
             family = a.split("=", 1)[1]
             argv.remove(a)
-    if family not in ("av", "audio", "visual"):
-        raise SystemExit(f"--family must be av|audio|visual, got {family}")
+    if family not in ("av", "audio", "visual", "ssl"):
+        raise SystemExit(f"--family must be av|audio|visual|ssl, got {family}")
 
     from .config import from_flat_overrides
     from .models import MultiSpeakerAVModel
@@ -188,6 +214,9 @@ def main(argv: list[str] | None = None) -> None:
     tokenizer = CharTokenizer(vocab)
     cfg.model.decoder.vocab_size = tokenizer.vocab_size
 
+    if family == "ssl":
+        run_ssl_pretrain(cfg, tokenizer, synthetic)
+        return
     if family != "av":
         run_single_modality(cfg, tokenizer, family, synthetic)
         return
@@ -234,6 +263,24 @@ def main(argv: list[str] | None = None) -> None:
                 live_stats, src_stats, ["visual_encoder"])
         state = state.replace(**updates)
         print(f"grafted visual encoder from {cfg.train.visual_init_ckpt}")
+
+    if cfg.train.audio_init_ckpt:
+        # Pretrained-audio-encoder workflow (the reference's wav2vec2 load,
+        # model/encoder.py:83): graft from an SSL (--family=ssl) checkpoint,
+        # typically with train.audio_trainable_layers for the partial
+        # unfreeze (reference main.py:26-31).
+        from .train.checkpoints import graft_subtree, restore_checkpoint
+        from .train.ssl_pretrain import flagship_audio_params
+
+        src = restore_checkpoint(cfg.train.audio_init_ckpt)
+        src_state = src.get("state", src)
+        new_params = graft_subtree(
+            jax.device_get(state.params),
+            {"audio_encoder": flagship_audio_params(src_state["params"])},
+            ["audio_encoder"],
+        )
+        state = state.replace(params=new_params)
+        print(f"grafted audio encoder from {cfg.train.audio_init_ckpt}")
 
     ckpts = CheckpointManager(cfg.train.checkpoint_dir)
     # Template-restore keeps optax/flax pytree structure intact.

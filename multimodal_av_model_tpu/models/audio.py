@@ -101,12 +101,20 @@ class AudioEncoder(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, waveform, sample_mask=None, deterministic: bool = True):
+    def __call__(self, waveform, sample_mask=None, deterministic: bool = True,
+                 mask_spans=None):
         """Args:
           waveform: ``[B, S]`` raw 16 kHz audio.
           sample_mask: ``[B, S]`` bool, True on valid samples (reference passes
             ``mask != 3``).  None → all valid.
-        Returns ``(last_hidden, middle_mean, frame_valid)``.
+          mask_spans: optional ``[B, T_enc]`` bool — wav2vec2-style masked
+            prediction: masked positions are replaced by a learned embedding
+            after the conv subsampler, and their pre-masking latents return as
+            stop-gradient targets (the analogue of wav2vec2's quantized
+            targets; reference model/encoder.py:83 consumes such a pretrained
+            encoder, we train our own — ops/ssl.py).
+        Returns ``(last_hidden, middle_mean, frame_valid, ssl_targets)``;
+        ``ssl_targets`` is None unless ``mask_spans`` is given.
         """
         cfg, fe = self.config, self.frontend
         if cfg.middle_layers and max(cfg.middle_layers) >= cfg.num_layers:
@@ -158,6 +166,16 @@ class AudioEncoder(nn.Module):
         T_enc = x.shape[1]
         frame_valid = frame_valid[:, ::f][:, :T_enc]
 
+        ssl_targets = None
+        if mask_spans is not None:
+            # Targets = clean local latents (f32, no gradient); inputs at
+            # masked positions become a learned embedding.
+            ssl_targets = jax.lax.stop_gradient(x.astype(jnp.float32))
+            mask_emb = self.param(
+                "mask_embedding", nn.initializers.normal(0.1), (cfg.d_model,)
+            )
+            x = jnp.where(mask_spans[..., None], mask_emb.astype(self.dtype), x)
+
         x = x + sinusoidal_positions(T_enc, cfg.d_model).astype(self.dtype)[None]
         attn_mask = frame_valid[:, None, None, :] & frame_valid[:, None, :, None]
 
@@ -171,7 +189,7 @@ class AudioEncoder(nn.Module):
 
         middle = jnp.stack([hiddens[i] for i in cfg.middle_layers]).mean(axis=0)
         last = nn.Dense(cfg.output_dim, dtype=self.dtype, name="out_proj")(x)
-        return last, middle, frame_valid
+        return last, middle, frame_valid, ssl_targets
 
     @staticmethod
     def output_length(cfg: AudioEncoderConfig, fe: AudioFrontendConfig, n_samples: int) -> int:

@@ -88,7 +88,7 @@ class MultiSpeakerAVModel(nn.Module):
             l2 = lip2_len if lip2_len is not None else jnp.full((B,), T_v, jnp.int32)
             lens = jnp.concatenate([l1, l2], 0)
 
-        last, middle, _ = self.audio_encoder(
+        last, middle, _, _ = self.audio_encoder(
             audio2, sample_mask=(masks != 3), deterministic=not train
         )
         T_enc = last.shape[1]
@@ -114,7 +114,7 @@ class AudioOnlyCTC(nn.Module):
 
     @nn.compact
     def __call__(self, audio, sample_mask=None, train: bool = False):
-        last, _, frame_valid = AudioEncoder(
+        last, _, frame_valid, _ = AudioEncoder(
             self.config.audio, self.config.frontend, self.dtype, name="audio_encoder"
         )(audio, sample_mask, deterministic=not train)
         log_probs = CTCDecoder(self.config.decoder, self.dtype, name="decoder")(last)

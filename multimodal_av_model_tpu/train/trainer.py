@@ -248,6 +248,10 @@ class MultiSpeakerTrainer:
                 "log_probs2": out["log_probs2"], "input_lengths2": out["input_lengths2"],
                 "greedy1": g1, "greedy1_len": g1_len,
                 "greedy2": g2, "greedy2_len": g2_len,
+                # Contrastive feature taps + frame masks: consumed by the
+                # feature probes (train/probe.py) and pretraining analyses.
+                "contrast1": out["contrast1"], "mask_ds1": out["mask_ds1"],
+                "contrast2": out["contrast2"], "mask_ds2": out["mask_ds2"],
             }
 
         return jax.jit(eval_step)

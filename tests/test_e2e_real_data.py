@@ -74,6 +74,37 @@ def test_real_data_av_end_to_end(tmp_path, capsys, device_preprocess):
 
 
 @pytest.mark.slow
+def test_ssl_pretrain_graft_finetune(tmp_path, capsys):
+    """The wav2vec2-substitute workflow at the CLI surface: --family=ssl
+    pretrain → audio_init_ckpt graft + partial unfreeze finetune (the
+    reference's pretrained-wav2vec2 load + unfreeze_middle_layers,
+    model/encoder.py:83, main.py:26-31)."""
+    ssl_dir = str(tmp_path / "ssl_ckpt")
+    common_small = [
+        "data.num_pairs_per_epoch=4", "data.eval_pairs=2",
+        "train.batch_size=2", "train.eval_batch_size=2",
+        "train.max_epochs=1", "train.log_every=100",
+        "data.video_buckets=(32,)",
+    ]
+    main(["--family=ssl", "--synthetic",
+          f"train.checkpoint_dir={ssl_dir}"] + common_small + TINY_MODEL_ARGS)
+    ssl_ckpt = os.path.join(ssl_dir, "last.ckpt")
+    assert os.path.isfile(ssl_ckpt)
+    src = restore_checkpoint(ssl_ckpt)["state"]["params"]
+    assert "audio_encoder" in src and "mask_embedding" in src["audio_encoder"]
+
+    av_dir = str(tmp_path / "av_ckpt")
+    capsys.readouterr()
+    main(["--synthetic",
+          f"train.audio_init_ckpt={ssl_ckpt}",
+          "train.audio_trainable_layers=(1,)",
+          f"train.checkpoint_dir={av_dir}"] + common_small + TINY_MODEL_ARGS)
+    out = capsys.readouterr().out
+    assert "grafted audio encoder" in out
+    assert os.path.isfile(os.path.join(av_dir, "last.ckpt"))
+
+
+@pytest.mark.slow
 def test_visual_pretrain_graft_freeze_finetune(tmp_path, capsys):
     """The recipe: --family=visual pretrain → visual_init_ckpt graft +
     freeze_visual_trunk finetune.  The finetuned flagship must carry the

@@ -89,6 +89,71 @@ def test_probe_separates_separable_features():
     assert 0.3 < acc_sh < 0.7
 
 
+def test_make_span_mask_properties():
+    from multimodal_av_model_tpu.ops.ssl import make_span_mask
+
+    rng = np.random.default_rng(0)
+    m = make_span_mask(4, 50, mask_prob=0.1, span=5, rng=rng)
+    assert m.shape == (4, 50) and m.dtype == bool
+    assert (m.sum(axis=1) >= 2).all()          # min_masked guarantee
+    # Masked positions come in runs (span expansion): at least one run >= 2.
+    assert any((m[b, 1:] & m[b, :-1]).any() for b in range(4))
+
+
+def test_masked_infonce_identity_beats_shuffled():
+    from multimodal_av_model_tpu.ops.ssl import masked_infonce_loss
+
+    rng = np.random.default_rng(0)
+    B, T, D = 2, 20, 8
+    targets = rng.standard_normal((B, T, D)).astype(np.float32)
+    spans = np.zeros((B, T), bool)
+    spans[:, 3:9] = True
+    valid = np.ones((B, T), bool)
+    good = float(masked_infonce_loss(targets * 5.0, targets, spans, valid))
+    bad = float(masked_infonce_loss(
+        rng.standard_normal((B, T, D)).astype(np.float32), targets, spans, valid))
+    assert good < bad
+    assert good < 0.1   # scaled-identity predictions ≈ one-hot softmax
+
+
+def test_ssl_pretrainer_step_and_graftable_params(tok):
+    from multimodal_av_model_tpu.train.ssl_pretrain import MaskedAudioPretrainer
+
+    cfg = tiny_config()
+    cfg.model.decoder.vocab_size = tok.vocab_size
+    cfg.train.learning_rate = 1e-3
+    src = StructuredPairSource(tok, seed=0, lip_size=24, label_len=(2, 4))
+    spec = BucketSpec(16, 16 * 534, 8)
+    batch = next(iter(bucketed_batches(
+        (src.load_pair() for _ in range(2)), [spec], 2, drop_last=True)))
+
+    ssl = MaskedAudioPretrainer(cfg)
+    state = ssl.init_state(0, batch)
+    # The SSL model's encoder subtree must be graft-compatible with the
+    # flagship's audio_encoder (same flax naming), modulo the SSL-only
+    # mask_embedding param (stripped by flagship_audio_params).
+    from multimodal_av_model_tpu.train.ssl_pretrain import flagship_audio_params
+
+    model = MultiSpeakerAVModel(cfg.model)
+    trainer = MultiSpeakerTrainer(cfg, model, tok)
+    av_state = trainer.init_state(0, batch)
+    av_tree = jax.tree_util.tree_structure(
+        jax.device_get(av_state.params)["audio_encoder"])
+    ssl_tree = jax.tree_util.tree_structure(
+        flagship_audio_params(jax.device_get(state["params"])))
+    assert str(av_tree) == str(ssl_tree)
+
+    before = jax.device_get(state["params"])
+    out = ssl.fit(state, [batch, batch, batch], log_every=1000,
+                  log_fn=lambda s: None)
+    assert np.isfinite(out["last_loss"])
+    after = jax.device_get(out["params"])
+    moved = sum(float(np.abs(np.asarray(a) - np.asarray(b)).sum())
+                for a, b in zip(jax.tree.leaves(after["audio_encoder"]),
+                                jax.tree.leaves(before["audio_encoder"])))
+    assert moved > 0
+
+
 def test_collect_frame_features_drops_pad(tok):
     out = {
         "contrast1": np.ones((1, 4, 3), np.float32),

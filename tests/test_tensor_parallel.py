@@ -75,7 +75,7 @@ def test_tp_forward_matches_unsharded(audio_setup):
 
     @jax.jit
     def fwd(p, a, m):
-        last, middle, valid = model.apply({"params": p}, a, m)
+        last, middle, _valid, _ = model.apply({"params": p}, a, m)
         return last, middle
 
     ref_last, ref_middle = jax.device_get(fwd(params, audio, mask))
