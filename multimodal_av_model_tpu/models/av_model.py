@@ -12,6 +12,7 @@ audio encoder applied twice to the same mixture with per-speaker masks
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -53,7 +54,8 @@ class MultiSpeakerAVModel(nn.Module):
         self.contrastive_proj = nn.Dense(cfg.contrastive.projection_dim, dtype=jnp.float32)
 
     def __call__(self, lip1, lip2, audio, mask1, mask2,
-                 lip1_len=None, lip2_len=None, train: bool = False):
+                 lip1_len=None, lip2_len=None, train: bool = False,
+                 stop_visual_grad: bool = False):
         """Args use the reference batch-dict layouts (dataset/collate_fn.py:46-63):
         lips ``[B, T, 1, H, W]``, audio ``[B, S]``, masks ``[B, S]``.
 
@@ -78,6 +80,12 @@ class MultiSpeakerAVModel(nn.Module):
             [nchw_clip_to_channels_last(lip1), nchw_clip_to_channels_last(lip2)], 0
         )
         v = self.visual_encoder(lips, train)
+        if stop_visual_grad:
+            # Frozen-trunk training (the reference's production regime,
+            # main.py:100-103): cutting the gradient here lets XLA dead-code
+            # the ENTIRE visual backward — the trunk is ~94% of step FLOPs —
+            # instead of computing grads the optimizer would zero anyway.
+            v = jax.lax.stop_gradient(v)
 
         audio2 = jnp.concatenate([audio, audio], 0)
         masks = jnp.concatenate([mask1, mask2], 0)

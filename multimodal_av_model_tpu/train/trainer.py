@@ -154,7 +154,12 @@ class MultiSpeakerTrainer:
         variables = {"params": params}
         if batch_stats:
             variables["batch_stats"] = batch_stats
-        kwargs = dict(train=train)
+        # With the whole visual trunk frozen, cut its gradient at the model
+        # boundary so XLA drops the visual backward entirely (the trunk
+        # dominates step FLOPs) instead of computing grads set_to_zero drops.
+        frozen_visual = any(p.startswith("visual_encoder")
+                            for p in self.frozen_prefixes)
+        kwargs = dict(train=train, stop_visual_grad=frozen_visual)
         apply_kw = {}
         if train:
             apply_kw = dict(mutable=["batch_stats"] if batch_stats else [],

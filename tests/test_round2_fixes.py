@@ -166,6 +166,38 @@ def test_pad_batch_to_multiple_sets_valid():
     assert int(out["num_real"]) == 3
 
 
+def test_frozen_visual_trunk_stops_gradient(tok, av_setup):
+    """With the visual trunk frozen the model cuts its gradient at the
+    boundary (XLA then drops the whole visual backward — the trunk dominates
+    step FLOPs); the loss must be unchanged and visual grads exactly zero."""
+    import jax
+
+    from multimodal_av_model_tpu.models import MultiSpeakerAVModel
+    from multimodal_av_model_tpu.train import MultiSpeakerTrainer
+
+    cfg, base_trainer = av_setup
+    samples = _pair_samples(tok, 2)
+    spec = BucketSpec(video_frames=8, audio_samples=4272, label_len=8)
+    batch = collate_pairs(samples, spec)
+    frozen = MultiSpeakerTrainer(cfg, base_trainer.model, tok,
+                                 frozen_prefixes=("visual_encoder",))
+    state = base_trainer.init_state(0, batch)
+    clean = {k: v for k, v in batch.items() if k != "num_real"}
+
+    loss_base = float(base_trainer._losses(
+        state.params, state.batch_stats, clean, state.rng, False)[0])
+    loss_frozen = float(frozen._losses(
+        state.params, state.batch_stats, clean, state.rng, False)[0])
+    assert loss_base == pytest.approx(loss_frozen, rel=1e-6)
+
+    g = jax.grad(lambda p: frozen._losses(
+        p, state.batch_stats, clean, state.rng, False)[0])(state.params)
+    vis = jax.tree.leaves(jax.device_get(g)["visual_encoder"])
+    assert all(np.all(np.asarray(x) == 0) for x in vis)
+    aud = jax.tree.leaves(jax.device_get(g)["audio_encoder"])
+    assert any(np.abs(np.asarray(x)).sum() > 0 for x in aud)
+
+
 # -- NaN guard wiring ----------------------------------------------------------
 
 def test_train_epoch_raises_on_nan(tok, av_setup):
