@@ -60,6 +60,13 @@ class Transcriber:
         variables["params"] = jax.tree.unflatten(
             jax.tree.structure(variables["params"]), jax.tree.leaves(params)
         )
+        # BatchNorm (the default visual norm) predicts with RUNNING statistics:
+        # restore them too, or eval would run on init-value stats.
+        stats = state.get("batch_stats") if isinstance(state, dict) else state.batch_stats
+        if stats and "batch_stats" in variables:
+            variables["batch_stats"] = jax.tree.unflatten(
+                jax.tree.structure(variables["batch_stats"]), jax.tree.leaves(stats)
+            )
         return cls(config, tokenizer, variables, dtype)
 
     def transcribe(self, batch: dict, use_beam: bool = True):

@@ -110,6 +110,37 @@ def build_data(cfg, tokenizer, synthetic: bool, device_put: bool = True):
             make_factory(val_sampler, cfg.train.eval_batch_size))
 
 
+def run_infer(cfg, tokenizer, synthetic: bool) -> None:
+    """Serving entry (`--infer`): checkpoint → per-utterance transcripts on
+    the eval split (or synthetic pairs).  The reference has no inference
+    surface at all — decoding exists only inside its eval loop
+    (reference model/trainer.py:179-252)."""
+    import jax
+
+    from .infer import Transcriber
+
+    _, val_factory = build_data(cfg, tokenizer, synthetic, device_put=False)
+    ckpt = os.path.join(cfg.train.checkpoint_dir, "best_wer.ckpt")
+    if not os.path.isfile(ckpt):
+        ckpt = os.path.join(cfg.train.checkpoint_dir, "last.ckpt")
+    if not os.path.isfile(ckpt):
+        raise SystemExit(f"no checkpoint under {cfg.train.checkpoint_dir}")
+
+    dtype = {"bfloat16": jax.numpy.bfloat16, "float32": jax.numpy.float32}[cfg.model.dtype]
+    first = next(iter(val_factory()))
+    transcriber = Transcriber.from_checkpoint(cfg, tokenizer, ckpt, first, dtype=dtype)
+    print(f"transcribing with {ckpt}")
+    n = 0
+    for batch in val_factory():
+        texts = transcriber.transcribe(batch)
+        num_real = int(batch.get("num_real", len(texts)))
+        for t1, t2 in texts[:num_real]:
+            print(f"[utt {n}] speaker1: {t1}")
+            print(f"[utt {n}] speaker2: {t2}")
+            n += 1
+    print(f"transcribed {n} pairs")
+
+
 def run_ssl_pretrain(cfg, tokenizer, synthetic: bool) -> None:
     """Self-supervised audio-encoder pretraining (the wav2vec2 replacement,
     train/ssl_pretrain.py): masked-span InfoNCE over mixture audio.  The
@@ -190,7 +221,8 @@ def run_single_modality(cfg, tokenizer, family: str, synthetic: bool) -> None:
 def main(argv: list[str] | None = None) -> None:
     argv = list(sys.argv[1:] if argv is None else argv)
     synthetic = "--synthetic" in argv
-    argv = [a for a in argv if a != "--synthetic"]
+    infer = "--infer" in argv
+    argv = [a for a in argv if a not in ("--synthetic", "--infer")]
     family = "av"
     for a in list(argv):
         if a.startswith("--family="):
@@ -214,6 +246,11 @@ def main(argv: list[str] | None = None) -> None:
     tokenizer = CharTokenizer(vocab)
     cfg.model.decoder.vocab_size = tokenizer.vocab_size
 
+    if infer:
+        if family != "av":
+            raise SystemExit("--infer currently serves the flagship (av) family")
+        run_infer(cfg, tokenizer, synthetic)
+        return
     if family == "ssl":
         run_ssl_pretrain(cfg, tokenizer, synthetic)
         return

@@ -72,6 +72,11 @@ def test_real_data_av_end_to_end(tmp_path, capsys, device_preprocess):
     last = restore_checkpoint(os.path.join(ckpt_dir, "last.ckpt"))
     assert int(last["epoch"]) == 2
 
+    # Serving surface over the same checkpoint dir + eval split.
+    main(args + ["--infer"])
+    out = capsys.readouterr().out
+    assert "speaker1:" in out and "transcribed" in out
+
 
 @pytest.mark.slow
 def test_ssl_pretrain_graft_finetune(tmp_path, capsys):

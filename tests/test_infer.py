@@ -46,6 +46,39 @@ def test_transcriber_from_checkpoint(tmp_path):
     assert len(greedy) == 2
 
 
+def test_transcriber_restores_batch_stats(tmp_path):
+    """The default visual norm is BatchNorm: serving must use the TRAINED
+    running statistics, not init values."""
+    tok = CharTokenizer(VOCAB)
+    cfg = tiny_config()
+    cfg.model.visual.norm = "batch"
+    cfg.model.decoder.vocab_size = tok.vocab_size
+    cfg.model.fusion.temporal_model = "transformer"
+
+    src = SyntheticPairSource(tok, seed=0, video_frames=(4, 7), lip_size=24,
+                              label_len=(2, 5))
+    batch = collate_pairs([src.load_pair() for _ in range(2)],
+                          BucketSpec(8, 4272, 8))
+
+    model = MultiSpeakerAVModel(cfg.model)
+    trainer = MultiSpeakerTrainer(cfg, model, tok)
+    state = trainer.init_state(0, batch)
+    for _ in range(2):  # move the running stats off their init values
+        state, _ = trainer.train_step(state, trainer._place(batch))
+    path = str(tmp_path / "m.ckpt")
+    save_checkpoint(path, {"state": jax.device_get(state), "epoch": 1})
+
+    t = Transcriber.from_checkpoint(cfg, tok, path, batch, dtype=jax.numpy.float32)
+    trained = jax.device_get(state.batch_stats)
+    restored = t.variables["batch_stats"]
+    leaves_t = jax.tree.leaves(trained)
+    leaves_r = jax.tree.leaves(restored)
+    assert leaves_t and len(leaves_t) == len(leaves_r)
+    for a, b in zip(leaves_t, leaves_r):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert len(t.transcribe(batch, use_beam=False)) == 2
+
+
 def test_legacy_pair_sample_builder(tmp_path):
     from multimodal_av_model_tpu.data.audio_io import write_wav
     from multimodal_av_model_tpu.data.legacy_preprocess import build_all_pair_samples
