@@ -21,6 +21,8 @@ additive attention mask derived from sample counts, never by ragged slicing.
 
 from __future__ import annotations
 
+from typing import Any
+
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
@@ -72,6 +74,10 @@ class ConformerBlock(nn.Module):
     conv_kernel_size: int
     dropout: float
     dtype: Dtype
+    # Pluggable self-attention constructor (long-form context parallelism,
+    # parallel/longform.py).  None → flax MHA.  Replacements must keep the
+    # query/key/value/out projection layout so trained params interchange.
+    attention_module: Any = None
 
     @nn.compact
     def __call__(self, x, valid, attn_mask, deterministic: bool = True):
@@ -79,11 +85,13 @@ class ConformerBlock(nn.Module):
             x, deterministic
         )
         h = nn.LayerNorm(dtype=self.dtype)(x)
-        h = nn.MultiHeadDotProductAttention(
+        attn_ctor = self.attention_module or nn.MultiHeadDotProductAttention
+        h = attn_ctor(
             num_heads=self.num_heads,
             dtype=self.dtype,
             dropout_rate=self.dropout,
             deterministic=deterministic,
+            name="self_attention",
         )(h, h, mask=attn_mask)
         x = x + h
         x = x + ConvModule(self.conv_kernel_size, self.dropout, self.dtype)(
@@ -99,6 +107,7 @@ class AudioEncoder(nn.Module):
     config: AudioEncoderConfig
     frontend: AudioFrontendConfig
     dtype: Dtype = jnp.float32
+    attention_module: Any = None      # see ConformerBlock.attention_module
 
     @nn.compact
     def __call__(self, waveform, sample_mask=None, deterministic: bool = True,
@@ -183,7 +192,8 @@ class AudioEncoder(nn.Module):
         for i in range(cfg.num_layers):
             x = ConformerBlock(
                 cfg.num_heads, cfg.ffn_dim, cfg.conv_kernel_size, cfg.dropout,
-                self.dtype, name=f"block{i}",
+                self.dtype, attention_module=self.attention_module,
+                name=f"block{i}",
             )(x, frame_valid, attn_mask, deterministic)
             hiddens.append(x)
 

@@ -81,9 +81,9 @@ def ring_attention(q, k, v, mesh: Mesh, seq_axis: str = "data"):
         # Mark the accumulators device-varying so the scan carry type matches
         # after the ppermute makes K/V varying.
         def varying(x):
-            if hasattr(jax.lax, "pvary"):
-                return jax.lax.pvary(x, (seq_axis,))
-            return jax.lax.pcast(x, (seq_axis,), to="varying")
+            if hasattr(jax.lax, "pcast"):
+                return jax.lax.pcast(x, (seq_axis,), to="varying")
+            return jax.lax.pvary(x, (seq_axis,))
 
         m0 = varying(jnp.full((H, T), -jnp.inf, jnp.float32))
         l0 = varying(jnp.zeros((H, T), jnp.float32))
@@ -103,3 +103,73 @@ def reference_attention(q, k, v):
     """Unsharded oracle."""
     scale = 1.0 / jnp.sqrt(q.shape[-1]).astype(q.dtype)
     return _attend(q, k, v, scale)
+
+
+# -- batched variants ([B, T, H, D]) — what model code consumes ---------------
+
+
+def _attend_batched(q, k, v, scale):
+    logits = jnp.einsum("bthd,bshd->bhts", q, k) * scale
+    probs = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum("bhts,bshd->bthd", probs, v)
+
+
+def gather_kv_attention_batched(q, k, v, mesh: Mesh, seq_axis: str = "data"):
+    """Exact attention, time sharded over ``seq_axis``: ``[B, T, H, D]``."""
+    scale = 1.0 / jnp.sqrt(q.shape[-1]).astype(q.dtype)
+
+    def local(q_blk, k_blk, v_blk):
+        k_full = jax.lax.all_gather(k_blk, seq_axis, axis=1, tiled=True)
+        v_full = jax.lax.all_gather(v_blk, seq_axis, axis=1, tiled=True)
+        return _attend_batched(q_blk, k_full, v_full, scale)
+
+    spec = P(None, seq_axis, None, None)
+    fn = shard_map(local, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec)
+    return fn(q, k, v)
+
+
+def ring_attention_batched(q, k, v, mesh: Mesh, seq_axis: str = "data"):
+    """Exact ring attention over ``[B, T, H, D]`` — K/V blocks rotate with
+    ``ppermute``, flash-style online-softmax accumulation, constant per-device
+    K/V memory."""
+    scale = 1.0 / jnp.sqrt(q.shape[-1]).astype(jnp.float32)
+    n = mesh.shape[seq_axis]
+
+    def local(q_blk, k_blk, v_blk):
+        B, T, H, D = q_blk.shape
+        qf = q_blk.astype(jnp.float32)
+
+        def step(carry, _):
+            k_cur, v_cur, m, l, acc = carry
+            logits = jnp.einsum("bthd,bshd->bhts", qf,
+                                k_cur.astype(jnp.float32)) * scale
+            blk_max = logits.max(axis=-1)                      # [B, H, T]
+            new_m = jnp.maximum(m, blk_max)
+            correction = jnp.exp(m - new_m)                    # [B, H, T]
+            p = jnp.exp(logits - new_m[..., None])             # [B, H, T, S]
+            l = l * correction + p.sum(axis=-1)
+            acc = acc * correction.transpose(0, 2, 1)[..., None] + jnp.einsum(
+                "bhts,bshd->bthd", p, v_cur.astype(jnp.float32)
+            )
+            perm = [(i, (i + 1) % n) for i in range(n)]
+            k_next = jax.lax.ppermute(k_cur, seq_axis, perm)
+            v_next = jax.lax.ppermute(v_cur, seq_axis, perm)
+            return (k_next, v_next, new_m, l, acc), None
+
+        def varying(x):
+            if hasattr(jax.lax, "pcast"):
+                return jax.lax.pcast(x, (seq_axis,), to="varying")
+            return jax.lax.pvary(x, (seq_axis,))
+
+        m0 = varying(jnp.full((B, H, T), -jnp.inf, jnp.float32))
+        l0 = varying(jnp.zeros((B, H, T), jnp.float32))
+        acc0 = varying(jnp.zeros((B, T, H, D), jnp.float32))
+        (_, _, m, l, acc), _ = jax.lax.scan(
+            step, (k_blk, v_blk, m0, l0, acc0), None, length=n
+        )
+        out = acc / l.transpose(0, 2, 1)[..., None]
+        return out.astype(q_blk.dtype)
+
+    spec = P(None, seq_axis, None, None)
+    fn = shard_map(local, mesh=mesh, in_specs=(spec, spec, spec), out_specs=spec)
+    return fn(q, k, v)

@@ -43,11 +43,22 @@ def _spec_for(path: tuple, leaf) -> P:
             return P(None, MODEL_AXIS) if name == "kernel" else P(MODEL_AXIS)
         if parent == "Dense_1":  # row parallel: ffn_dim → d_model (+psum)
             return P(MODEL_AXIS, None) if name == "kernel" else P()
-    if any(p.startswith("MultiHeadDotProductAttention") for p in parts):
-        if parent in ("query", "key", "value"):  # [d, heads, head_dim]
-            return P(None, MODEL_AXIS, None) if name == "kernel" else P(MODEL_AXIS, None)
-        if parent == "out":                      # [heads, head_dim, d]
-            return P(MODEL_AXIS, None, None) if name == "kernel" else P()
+    # Attention projections, matched by their flax child names (covers
+    # nn.MultiHeadDotProductAttention under any parent naming, and drop-in
+    # replacements like the long-form CP attention that keep the layout):
+    # kernels are [d, heads, head_dim] for q/k/v and [heads, head_dim, d]
+    # for out — heads shard over the model axis.
+    shape = getattr(leaf, "shape", ())
+    if parent in ("query", "key", "value"):
+        if name == "kernel" and len(shape) == 3:
+            return P(None, MODEL_AXIS, None)
+        if name == "bias" and len(shape) == 2:
+            return P(MODEL_AXIS, None)
+    if parent == "out":
+        if name == "kernel" and len(shape) == 3:
+            return P(MODEL_AXIS, None, None)
+        if name == "bias":
+            return P()
     if parent == "out_proj":                     # wide d_model → 1024
         return P(None, MODEL_AXIS) if name == "kernel" else P(MODEL_AXIS)
     return P()

@@ -79,6 +79,24 @@ def test_transcriber_restores_batch_stats(tmp_path):
     assert len(t.transcribe(batch, use_beam=False)) == 2
 
 
+def test_audio_transcriber_serves():
+    from multimodal_av_model_tpu.infer import AudioTranscriber
+    from multimodal_av_model_tpu.models import AudioOnlyCTC
+
+    tok = CharTokenizer(VOCAB)
+    cfg = tiny_config()
+    cfg.model.decoder.vocab_size = tok.vocab_size
+    rng = np.random.default_rng(0)
+    audio = (rng.standard_normal((2, 3200)) * 0.1).astype(np.float32)
+    mask = np.ones((2, 3200), bool)
+    model = AudioOnlyCTC(cfg.model)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), audio, mask)
+    t = AudioTranscriber(cfg, tok, variables, dtype=jax.numpy.float32)
+    for use_beam in (True, False):
+        texts = t.transcribe(audio, mask, use_beam=use_beam)
+        assert len(texts) == 2 and all(isinstance(s, str) for s in texts)
+
+
 def test_legacy_pair_sample_builder(tmp_path):
     from multimodal_av_model_tpu.data.audio_io import write_wav
     from multimodal_av_model_tpu.data.legacy_preprocess import build_all_pair_samples

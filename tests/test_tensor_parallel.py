@@ -54,7 +54,7 @@ def test_tp_specs_cover_wide_layers(audio_setup):
     assert ffn1 and all(v == P(MODEL_AXIS, None) for v in ffn1)
     assert joined["out_proj/kernel"] == P(None, MODEL_AXIS)
     qkv = [v for k, v in joined.items()
-           if "MultiHeadDotProductAttention_0/query/kernel" in k]
+           if "self_attention/query/kernel" in k]
     assert qkv and all(v == P(None, MODEL_AXIS, None) for v in qkv)
     # Norms and conv module replicate.
     lnorm = [v for k, v in joined.items() if "LayerNorm" in k]
