@@ -104,6 +104,16 @@ class DecoderConfig:
 @dataclass
 class DecodeConfig:
     beam_width: int = 5               # reference model/trainer.py:230
+    # "reference_beam" = exact reference semantics (path beam, collapse at
+    # the end); "prefix_beam" = true CTC prefix search (sums alignment mass
+    # per transcript — strictly better decoder, ops/prefix_beam_search.py);
+    # "greedy" = argmax collapse.
+    algorithm: str = "reference_beam"
+    prefix_top_k: int = 8             # emission pruning for prefix_beam
+    # Streaming serving (streaming.py): emission granularity and how much
+    # already-seen audio the encoder attends over per chunk.
+    stream_chunk_seconds: float = 2.0
+    stream_context_seconds: float = 8.0
 
 
 @dataclass

@@ -21,6 +21,24 @@ from .config import Config
 from .models import AudioOnlyCTC, MultiSpeakerAVModel
 from .ops.beam_search import beam_search_decode
 from .ops.ctc import ctc_greedy_decode
+from .ops.prefix_beam_search import prefix_beam_search_decode
+
+
+def decode_ids(config: Config, log_probs, lengths, use_beam: bool = True):
+    """Decoder dispatch per ``config.decode.algorithm`` → ``(ids, out_len)``."""
+    blank = config.model.decoder.blank_id
+    if not use_beam:
+        return ctc_greedy_decode(log_probs, lengths, blank)
+    if config.decode.algorithm == "prefix_beam":
+        ids, out_len, _ = prefix_beam_search_decode(
+            log_probs, lengths, config.decode.beam_width,
+            config.decode.prefix_top_k, blank)
+        return ids, out_len
+    if config.decode.algorithm == "reference_beam":
+        ids, out_len, _ = beam_search_decode(
+            log_probs, lengths, config.decode.beam_width, blank)
+        return ids, out_len
+    raise ValueError(f"unknown decode algorithm {config.decode.algorithm!r}")
 
 
 @dataclasses.dataclass
@@ -77,17 +95,10 @@ class Transcriber:
             batch["mask1"], batch["mask2"],
             batch["lip1_lengths"], batch["lip2_lengths"],
         )
-        blank = self.config.model.decoder.blank_id
-        if use_beam:
-            ids1, len1, _ = beam_search_decode(
-                out["log_probs1"], out["input_lengths1"],
-                self.config.decode.beam_width, blank)
-            ids2, len2, _ = beam_search_decode(
-                out["log_probs2"], out["input_lengths2"],
-                self.config.decode.beam_width, blank)
-        else:
-            ids1, len1 = ctc_greedy_decode(out["log_probs1"], out["input_lengths1"], blank)
-            ids2, len2 = ctc_greedy_decode(out["log_probs2"], out["input_lengths2"], blank)
+        ids1, len1 = decode_ids(self.config, out["log_probs1"],
+                                out["input_lengths1"], use_beam)
+        ids2, len2 = decode_ids(self.config, out["log_probs2"],
+                                out["input_lengths2"], use_beam)
         ids1, len1 = np.asarray(ids1), np.asarray(len1)
         ids2, len2 = np.asarray(ids2), np.asarray(len2)
         texts = []
@@ -114,12 +125,7 @@ class AudioTranscriber:
 
     def transcribe(self, audio, sample_mask=None, use_beam: bool = True):
         log_probs, lengths = self._forward(self.variables, audio, sample_mask)
-        blank = self.config.model.decoder.blank_id
-        if use_beam:
-            ids, out_len, _ = beam_search_decode(
-                log_probs, lengths, self.config.decode.beam_width, blank)
-        else:
-            ids, out_len = ctc_greedy_decode(log_probs, lengths, blank)
+        ids, out_len = decode_ids(self.config, log_probs, lengths, use_beam)
         ids, out_len = np.asarray(ids), np.asarray(out_len)
         return [
             self.tokenizer.decode(ids[b, : out_len[b]].tolist())

@@ -141,6 +141,60 @@ def run_infer(cfg, tokenizer, synthetic: bool) -> None:
     print(f"transcribed {n} pairs")
 
 
+def run_stream(cfg, tokenizer, wav_path: str) -> None:
+    """Long-form serving (`--stream=file.wav`): chunked audio-only
+    transcription at ONE static compiled shape (streaming.py) — unbounded
+    input never recompiles and latency is bounded by the chunk length.
+    Loads an audio-family checkpoint (``--family=audio`` training) from
+    ``train.checkpoint_dir``."""
+    import jax
+
+    from .data.audio_io import read_wav, resample
+    from .models import AudioOnlyCTC
+    from .streaming import StreamingAudioTranscriber
+    from .train.checkpoints import restore_checkpoint
+
+    ckpt = os.path.join(cfg.train.checkpoint_dir, "best_wer.ckpt")
+    if not os.path.isfile(ckpt):
+        ckpt = os.path.join(cfg.train.checkpoint_dir, "last.ckpt")
+    if not os.path.isfile(ckpt):
+        raise SystemExit(f"no checkpoint under {cfg.train.checkpoint_dir}")
+
+    dtype = {"bfloat16": jax.numpy.bfloat16, "float32": jax.numpy.float32}[cfg.model.dtype]
+    s = StreamingAudioTranscriber(
+        cfg, tokenizer, None, dtype=dtype,
+        chunk_seconds=cfg.decode.stream_chunk_seconds,
+        context_seconds=cfg.decode.stream_context_seconds,
+    )
+
+    # Template restore: init params at the streaming window shape, then load
+    # the checkpoint leaves over the template's structure.
+    model = AudioOnlyCTC(cfg.model, dtype=dtype)
+    template = jax.jit(model.init)(
+        jax.random.PRNGKey(0),
+        jax.numpy.zeros((1, s.window_samples), jax.numpy.float32),
+        jax.numpy.ones((1, s.window_samples), bool),
+    )
+    state = restore_checkpoint(ckpt).get("state", {})
+    params = state.get("params", state)
+    s.variables = {"params": jax.tree.unflatten(
+        jax.tree.structure(template["params"]), jax.tree.leaves(params))}
+
+    audio, sr = read_wav(wav_path)
+    if sr != cfg.data.sample_rate:
+        audio = resample(audio, sr, cfg.data.sample_rate)
+    print(f"streaming {wav_path} ({audio.shape[0] / cfg.data.sample_rate:.1f} s) "
+          f"with {ckpt}, chunk={s.chunk_samples / cfg.data.sample_rate:.1f}s")
+    block = s.chunk_samples
+    for i in range(0, audio.shape[0], block):
+        piece = s.feed(audio[i : i + block])
+        if piece:
+            print(piece, flush=True)
+    tail = s.flush()
+    if tail:
+        print(tail, flush=True)
+
+
 def run_ssl_pretrain(cfg, tokenizer, synthetic: bool) -> None:
     """Self-supervised audio-encoder pretraining (the wav2vec2 replacement,
     train/ssl_pretrain.py): masked-span InfoNCE over mixture audio.  The
@@ -224,9 +278,13 @@ def main(argv: list[str] | None = None) -> None:
     infer = "--infer" in argv
     argv = [a for a in argv if a not in ("--synthetic", "--infer")]
     family = "av"
+    stream_wav = None
     for a in list(argv):
         if a.startswith("--family="):
             family = a.split("=", 1)[1]
+            argv.remove(a)
+        elif a.startswith("--stream="):
+            stream_wav = a.split("=", 1)[1]
             argv.remove(a)
     if family not in ("av", "audio", "visual", "ssl"):
         raise SystemExit(f"--family must be av|audio|visual|ssl, got {family}")
@@ -246,6 +304,9 @@ def main(argv: list[str] | None = None) -> None:
     tokenizer = CharTokenizer(vocab)
     cfg.model.decoder.vocab_size = tokenizer.vocab_size
 
+    if stream_wav is not None:
+        run_stream(cfg, tokenizer, stream_wav)
+        return
     if infer:
         if family != "av":
             raise SystemExit("--infer currently serves the flagship (av) family")

@@ -1,0 +1,169 @@
+"""On-device CTC *prefix* beam search (vmap-able ``lax.scan``).
+
+``ops/beam_search.py`` reproduces the reference's decoder exactly
+(reference beam_search.py:2-42): a beam over *un-collapsed frame paths*,
+collapsed only at the end.  That decoder cannot sum the probability of the
+many alignments that collapse to the same transcript, so it systematically
+under-scores short/repeat-heavy hypotheses — the textbook failure is
+``P(blank)=0.6, P(a)=0.4`` per frame, where the best transcript is "a"
+(mass 0.64) but every path beam returns "" (best path 0.36).
+
+This module implements the correct decoder — prefix beam search (Hannun et
+al., 2014, "First-Pass Large Vocabulary Continuous Speech Recognition using
+Bi-Directional Recurrent DNNs"): beams are *collapsed label prefixes*, each
+carrying two log-masses, ``p_b`` (alignments ending in blank) and ``p_nb``
+(ending in the prefix's last label), recursed per frame:
+
+  stay     p_b'(A)   ⊕= (p_b(A) ⊕ p_nb(A)) · P(blank)
+  repeat   p_nb'(A)  ⊕= p_nb(A) · P(ℓ)            ℓ = last label of A
+  split    p_nb'(A+ℓ)⊕= p_b(A) · P(ℓ)             (blank separated the repeat)
+  extend   p_nb'(A+c)⊕= (p_b(A) ⊕ p_nb(A)) · P(c)  c ≠ ℓ
+
+TPU mechanics mirror ``beam_search.py``: prefixes live in a ``[W, T]``
+buffer padded with −1 (canonical, so content equality ≡ prefix equality),
+per-frame candidates are ``W·(K+1)`` static rows (one stay + top-``K``
+emission extensions per beam), duplicates merge by masked log-sum-exp into
+the first occurrence, and frames past ``length`` leave the state untouched.
+Everything is one ``lax.scan`` — no host syncs (the motivation for moving
+decode on-device in the first place, SURVEY.md §3.2).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_NEG_INF = -1e30
+
+
+def _logaddexp(a, b):
+    """log(e^a + e^b), safe at the -inf sentinel."""
+    m = jnp.maximum(a, b)
+    m_safe = jnp.maximum(m, _NEG_INF / 2)
+    out = m_safe + jnp.log(jnp.exp(a - m_safe) + jnp.exp(b - m_safe))
+    return jnp.where(m <= _NEG_INF / 2, _NEG_INF, out)
+
+
+def _group_logsumexp(eq, vals):
+    """Per-row masked log-sum-exp of ``vals`` over each row's group ``eq``."""
+    masked = jnp.where(eq, vals[None, :], _NEG_INF)
+    m = jnp.max(masked, axis=1)
+    m_safe = jnp.maximum(m, _NEG_INF / 2)
+    s = m_safe + jnp.log(jnp.sum(jnp.exp(masked - m_safe[:, None]), axis=1))
+    return jnp.where(m <= _NEG_INF / 2, _NEG_INF, s)
+
+
+def _prefix_beam_single(log_probs, length, beam_width: int, top_k: int,
+                        blank_id: int):
+    """``log_probs: [T, V]`` → ``(prefix [T] (-1 padded), prefix_len, score)``."""
+    T, V = log_probs.shape
+    W, K = beam_width, min(top_k, V)
+    M = W * (K + 1)
+    log_probs = jnp.asarray(log_probs, jnp.float32)
+
+    prefixes0 = jnp.full((W, T), -1, jnp.int32)
+    lens0 = jnp.zeros((W,), jnp.int32)
+    pb0 = jnp.full((W,), _NEG_INF).at[0].set(0.0)   # empty prefix, all-blank
+    pnb0 = jnp.full((W,), _NEG_INF)
+
+    cols = jnp.arange(T, dtype=jnp.int32)
+
+    def step(carry, inp):
+        prefixes, lens, pb, pnb = carry
+        lp, t = inp
+
+        total = _logaddexp(pb, pnb)                                   # [W]
+        last = prefixes[jnp.arange(W), jnp.maximum(lens - 1, 0)]      # [W]
+        has_last = lens > 0
+        lp_last = jnp.where(has_last, jnp.take(lp, jnp.maximum(last, 0)),
+                            _NEG_INF)
+
+        # Stay: blank keeps (p_b+p_nb); repeating the last label keeps p_nb.
+        stay_pb = total + lp[blank_id]
+        stay_pnb = pnb + lp_last
+
+        # Extend with the frame's top-K tokens (blank masked out — its mass
+        # is the stay candidate's p_b).
+        top_vals, top_ids = jax.lax.top_k(lp, K)                      # [K]
+        c = jnp.broadcast_to(top_ids[None, :], (W, K))                # [W, K]
+        pc = jnp.broadcast_to(top_vals[None, :], (W, K))
+        is_blank = c == blank_id
+        same = (c == last[:, None]) & has_last[:, None]
+        base = jnp.where(same, pb[:, None], total[:, None])           # split vs extend
+        ext_pnb = jnp.where(is_blank, _NEG_INF, base + pc)
+        at_end = cols[None, :] == lens[:, None]                       # [W, T]
+        ext_prefixes = jnp.where(at_end[:, None, :], c[:, :, None],
+                                 prefixes[:, None, :])                # [W, K, T]
+        full = lens >= T                                              # buffer full
+        ext_pnb = jnp.where(full[:, None], _NEG_INF, ext_pnb)
+
+        cand_prefixes = jnp.concatenate(
+            [prefixes[:, None, :], ext_prefixes], axis=1).reshape(M, T)
+        cand_lens = jnp.concatenate(
+            [lens[:, None], jnp.minimum(lens + 1, T)[:, None].repeat(K, 1)],
+            axis=1).reshape(M)
+        cand_pb = jnp.concatenate(
+            [stay_pb[:, None], jnp.full((W, K), _NEG_INF)], axis=1).reshape(M)
+        cand_pnb = jnp.concatenate(
+            [stay_pnb[:, None], ext_pnb], axis=1).reshape(M)
+
+        # Merge identical prefixes (−1 padding is canonical, so content
+        # equality is prefix equality): log-sum-exp both masses into the
+        # first occurrence, kill the rest.
+        eq = jnp.all(cand_prefixes[:, None, :] == cand_prefixes[None, :, :],
+                     axis=-1)
+        idx = jnp.arange(M)
+        is_first = ~jnp.any(eq & (idx[None, :] < idx[:, None]), axis=1)
+        merged_pb = jnp.where(is_first, _group_logsumexp(eq, cand_pb), _NEG_INF)
+        merged_pnb = jnp.where(is_first, _group_logsumexp(eq, cand_pnb), _NEG_INF)
+
+        order = jnp.argsort(-_logaddexp(merged_pb, merged_pnb), stable=True)[:W]
+        new = (cand_prefixes[order], cand_lens[order],
+               merged_pb[order], merged_pnb[order])
+
+        # Frames past this sample's length are identity.
+        keep = t < length
+        out = jax.tree.map(
+            lambda n, o: jnp.where(
+                jnp.reshape(keep, (1,) * n.ndim), n, o), new,
+            (prefixes, lens, pb, pnb))
+        return out, None
+
+    ts = jnp.arange(T, dtype=jnp.int32)
+    (prefixes, lens, pb, pnb), _ = jax.lax.scan(
+        step, (prefixes0, lens0, pb0, pnb0), (log_probs, ts))
+    return prefixes[0], lens[0], _logaddexp(pb, pnb)[0]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("beam_width", "top_k", "blank_id", "pad_id"))
+def prefix_beam_search_decode(
+    log_probs: jnp.ndarray,
+    lengths: jnp.ndarray,
+    beam_width: int = 5,
+    top_k: int = 8,
+    blank_id: int = 3,
+    pad_id: int = -1,
+):
+    """Batched CTC prefix beam search, fully on device.
+
+    Args:
+      log_probs: ``[B, T, V]`` log-softmaxed scores.
+      lengths: ``[B]`` valid frame counts.
+      beam_width: number of collapsed prefixes kept per frame.
+      top_k: emission tokens considered per frame (pruning; ``V`` = exact).
+    Returns:
+      ``(ids [B, T] label ids padded with pad_id, out_lengths [B],
+      log_scores [B])`` — ids are already collapsed (prefixes are label
+      sequences, unlike ``beam_search_decode``'s frame paths).
+    """
+    log_probs = jnp.asarray(log_probs, jnp.float32)
+    lengths = jnp.asarray(lengths, jnp.int32)
+    ids, out_len, score = jax.vmap(
+        lambda lp, n: _prefix_beam_single(lp, n, beam_width, top_k, blank_id)
+    )(log_probs, lengths)
+    T = ids.shape[1]
+    ids = jnp.where(jnp.arange(T)[None, :] < out_len[:, None], ids, pad_id)
+    return ids, out_len, score

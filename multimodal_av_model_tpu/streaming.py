@@ -1,0 +1,171 @@
+"""Streaming / long-form audio transcription with bounded latency.
+
+The reference has no serving surface at all (decoding lives inside
+``trainer.evaluate``, reference model/trainer.py:179-252) and its pipeline
+pads every utterance to the batch max — unusable for a live feed or an
+hour-long recording.  ``infer.AudioTranscriber`` fixes batch serving; this
+module fixes *unbounded* input:
+
+* ONE static compiled shape per runner — ``[1, context + chunk]`` samples —
+  so a live stream never recompiles and latency is bounded by the chunk
+  length, not the recording length;
+* each chunk is encoded together with ``context_seconds`` of already-seen
+  audio (the Conformer attends over a realistic left window), but only the
+  NEW chunk's frames are emitted;
+* CTC greedy collapse carries the last raw token across the chunk boundary,
+  so a token spanning two chunks merges exactly as it would in one
+  full-utterance pass (the collapse is an exact streaming algorithm; the
+  encoder's truncated attention context is the standard streaming-ASR
+  approximation and is documented per-call via ``context_seconds``).
+
+Frame/sample alignment: one encoder frame per ``hop_length ×
+subsample_factor`` samples (320 at the defaults = 50 Hz).  Chunk and context
+lengths snap to that multiple so emission boundaries land exactly on frame
+anchors (``models/audio.py`` anchors mel frame ``t`` at sample ``t·hop``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import Config
+from .models import AudioOnlyCTC
+
+
+def _snap(n: int, multiple: int) -> int:
+    return max(multiple, (n // multiple) * multiple)
+
+
+@dataclasses.dataclass
+class StreamingAudioTranscriber:
+    """Incremental audio-only CTC transcription (BASELINE config 1 model).
+
+    Usage::
+
+        s = StreamingAudioTranscriber(cfg, tok, variables,
+                                      chunk_seconds=2.0, context_seconds=8.0)
+        for block in microphone():        # arbitrary-sized float32 blocks
+            print(s.feed(block), end="")  # newly emitted text, maybe ""
+        print(s.flush())                  # drain the tail
+
+    ``forward_fn(variables, window, sample_mask) -> log_probs [1, T, V]``
+    is injectable for testing; the default applies ``AudioOnlyCTC``.
+    """
+
+    config: Config
+    tokenizer: Any
+    variables: Any
+    chunk_seconds: float = 2.0
+    context_seconds: float = 8.0
+    dtype: Any = None
+    forward_fn: Callable | None = None
+
+    def __post_init__(self):
+        fe = self.config.model.frontend
+        acfg = self.config.model.audio
+        sr = fe.sample_rate
+        self._samples_per_frame = fe.hop_length * acfg.subsample_factor
+        self._chunk = _snap(int(self.chunk_seconds * sr), self._samples_per_frame)
+        self._ctx = _snap(int(self.context_seconds * sr), self._samples_per_frame)
+        self._window = self._ctx + self._chunk
+
+        if self.forward_fn is None:
+            model = AudioOnlyCTC(self.config.model,
+                                 dtype=self.dtype or jnp.bfloat16)
+
+            def forward(variables, window, sample_mask):
+                log_probs, _ = model.apply(variables, window, sample_mask)
+                return log_probs
+
+            self.forward_fn = forward
+        self._forward = jax.jit(self.forward_fn)
+
+        self.reset()
+
+    # -- state ----------------------------------------------------------------
+
+    def reset(self) -> None:
+        """Forget all buffered audio and decoder state."""
+        self._buffer = np.zeros((0,), np.float32)   # not-yet-emitted samples
+        self._context = np.zeros((0,), np.float32)  # already-emitted tail
+        self._prev_raw = self.config.model.decoder.blank_id
+        self._ids: list[int] = []
+
+    @property
+    def window_samples(self) -> int:
+        return self._window
+
+    @property
+    def chunk_samples(self) -> int:
+        return self._chunk
+
+    # -- streaming ------------------------------------------------------------
+
+    def feed(self, samples: np.ndarray) -> str:
+        """Append audio; decode every complete chunk; return the new text."""
+        samples = np.asarray(samples, np.float32).reshape(-1)
+        self._buffer = np.concatenate([self._buffer, samples])
+        emitted: list[int] = []
+        while self._buffer.shape[0] >= self._chunk:
+            chunk, self._buffer = (self._buffer[: self._chunk],
+                                   self._buffer[self._chunk:])
+            emitted.extend(self._decode_window(chunk, self._chunk))
+        return self._emit(emitted)
+
+    def flush(self) -> str:
+        """Decode the buffered tail (zero-padded, mask-excluded) and reset."""
+        emitted: list[int] = []
+        n = self._buffer.shape[0]
+        if n:
+            chunk = np.pad(self._buffer, (0, self._chunk - n))
+            emitted.extend(self._decode_window(chunk, n))
+        text = self._emit(emitted)
+        self.reset()
+        return text
+
+    @property
+    def text(self) -> str:
+        """Everything emitted since the last ``reset``/``flush``."""
+        return self.tokenizer.decode(self._ids)
+
+    # -- internals --------------------------------------------------------------
+
+    def _decode_window(self, chunk: np.ndarray, valid: int) -> list[int]:
+        """Run the model over [context | chunk] and greedy-collapse the new
+        frames; ``valid`` ≤ chunk length marks real (non-pad) samples."""
+        ctx = self._context
+        pad = self._ctx - ctx.shape[0]
+        window = np.concatenate([np.zeros((pad,), np.float32), ctx, chunk])
+        mask = np.ones((1, self._window), bool)
+        mask[0, :pad] = False
+        mask[0, self._ctx + valid:] = False
+
+        log_probs = self._forward(self.variables, window[None], jnp.asarray(mask))
+        raw = np.asarray(jnp.argmax(log_probs[0], axis=-1))
+
+        spf = self._samples_per_frame
+        start = self._ctx // spf                       # first NEW frame
+        end = (self._ctx + valid + spf - 1) // spf     # past-the-end frame
+        blank = self.config.model.decoder.blank_id
+        out: list[int] = []
+        prev = self._prev_raw
+        for tok in raw[start:end]:
+            tok = int(tok)
+            if tok != prev and tok != blank:
+                out.append(tok)
+            prev = tok
+        self._prev_raw = prev
+
+        # Slide the context window: keep the last ctx samples of real audio.
+        tail = np.concatenate([ctx, chunk[:valid]])
+        self._context = tail[-self._ctx:] if self._ctx else tail[:0]
+        return out
+
+    def _emit(self, ids: list[int]) -> str:
+        self._ids.extend(ids)
+        return self.tokenizer.decode(ids) if ids else ""

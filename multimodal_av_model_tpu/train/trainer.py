@@ -318,11 +318,25 @@ class MultiSpeakerTrainer:
                 )
         return state, (total / max(n, 1)), timer.summary()
 
+    def _decode(self, log_probs, lengths):
+        """Decoder dispatch per ``config.decode.algorithm``."""
+        dcfg = self.config.decode
+        blank = self.config.model.decoder.blank_id
+        if dcfg.algorithm == "prefix_beam":
+            from ..ops.prefix_beam_search import prefix_beam_search_decode
+
+            ids, out_len, _ = prefix_beam_search_decode(
+                log_probs, lengths, dcfg.beam_width, dcfg.prefix_top_k, blank)
+            return ids, out_len
+        if dcfg.algorithm == "reference_beam":
+            ids, out_len, _ = beam_search_decode(
+                log_probs, lengths, dcfg.beam_width, blank)
+            return ids, out_len
+        raise ValueError(f"unknown decode algorithm {dcfg.algorithm!r}")
+
     def evaluate(self, batches: Iterable[dict], state: TrainState,
                  use_beam: bool = True):
         """Returns ``(avg_loss, avg_wer, avg_cer, per_speaker)``."""
-        beam_width = self.config.decode.beam_width
-        blank = self.config.model.decoder.blank_id
         refs1, hyps1, refs2, hyps2 = [], [], [], []
         total, n = 0.0, 0
         for batch in batches:
@@ -332,10 +346,8 @@ class MultiSpeakerTrainer:
             total += float((float(metrics["ctc1"]) + float(metrics["ctc2"])) / 2)
             n += 1
             if use_beam:
-                ids1, len1, _ = beam_search_decode(
-                    out["log_probs1"], out["input_lengths1"], beam_width, blank)
-                ids2, len2, _ = beam_search_decode(
-                    out["log_probs2"], out["input_lengths2"], beam_width, blank)
+                ids1, len1 = self._decode(out["log_probs1"], out["input_lengths1"])
+                ids2, len2 = self._decode(out["log_probs2"], out["input_lengths2"])
             else:
                 ids1, len1 = out["greedy1"], out["greedy1_len"]
                 ids2, len2 = out["greedy2"], out["greedy2_len"]
