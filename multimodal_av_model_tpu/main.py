@@ -325,11 +325,20 @@ def main(argv: list[str] | None = None) -> None:
     model = MultiSpeakerAVModel(cfg.model, dtype=dtype)
     frozen = ("visual_encoder",) if cfg.train.freeze_visual_trunk else ()
 
+    # Multi-host: no-op unless the cluster env vars are set
+    # (parallel/multihost.py); afterwards jax.devices() spans all hosts.
+    from .parallel.multihost import initialize_distributed, make_hybrid_mesh
+
+    multiprocess = initialize_distributed()
     mesh = None
     if len(jax.devices()) > 1:
-        from .parallel import make_mesh
+        if multiprocess:
+            # Keep tensor-parallel groups inside each host's ICI domain.
+            mesh = make_hybrid_mesh(model_parallel=cfg.mesh.model_axis)
+        else:
+            from .parallel import make_mesh
 
-        mesh = make_mesh(model_parallel=cfg.mesh.model_axis)
+            mesh = make_mesh(model_parallel=cfg.mesh.model_axis)
         print(f"mesh: {mesh}")
 
     trainer = MultiSpeakerTrainer(cfg, model, tokenizer, frozen_prefixes=frozen, mesh=mesh)
