@@ -54,6 +54,12 @@ class AudioEncoderConfig:
     middle_layers: tuple[int, ...] = (6, 7, 8, 9)  # reference model/encoder.py:97
     output_dim: int = 1024            # matches wav2vec2-large hidden size surface
     max_len: int = 2048
+    # SpecAugment on the log-mel (ops/specaugment.py) — train-time only,
+    # OFF by default (reference parity; the reference has no augmentation).
+    specaug_freq_masks: int = 0
+    specaug_freq_width: int = 27
+    specaug_time_masks: int = 0
+    specaug_time_frac: float = 0.05
 
 
 @dataclass
@@ -191,6 +197,19 @@ class TrainConfig:
                                       # those conformer blocks (the reference's
                                       # unfreeze_middle_layers(6..9),
                                       # main.py:26-31,105-106)
+    # Learning-rate schedule (the reference runs constant-LR Adam only):
+    # "constant" (parity), "warmup_cosine" (linear warmup → cosine decay to
+    # lr·lr_min_ratio over decay_steps), or "noam" (transformer inverse-sqrt
+    # with peak = the group LR at warmup_steps).  Each optimizer group's
+    # schedule scales from ITS base LR, so the 1e-4/2e-5 split is preserved.
+    lr_schedule: str = "constant"
+    warmup_steps: int = 1000
+    decay_steps: int = 50000
+    lr_min_ratio: float = 0.0
+    grad_accum_steps: int = 1         # >1 → optax.MultiSteps gradient
+                                      # accumulation: k micro-batches average
+                                      # into one optimizer update (large
+                                      # effective batch on one chip)
     grad_clip_norm: float | None = None
     check_finite: bool = True         # raise on NaN/inf metrics instead of
                                       # training on silently (the reference

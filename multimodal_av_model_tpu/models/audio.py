@@ -166,6 +166,21 @@ class AudioEncoder(nn.Module):
             anchors = jnp.minimum(jnp.arange(T_mel) * fe.hop_length, S - 1)
             frame_valid = jnp.take(sample_mask, anchors, axis=1)
 
+        # SpecAugment (train-time only, off by default — the reference has
+        # no augmentation).  Uses the dropout rng stream; masked cells fill
+        # with the utterance's valid-frame mean.
+        if (not deterministic
+                and (cfg.specaug_freq_masks > 0 or cfg.specaug_time_masks > 0)):
+            from ..ops.specaugment import spec_augment
+
+            mel = spec_augment(
+                self.make_rng("dropout"), mel, frame_valid,
+                freq_masks=cfg.specaug_freq_masks,
+                freq_mask_width=cfg.specaug_freq_width,
+                time_masks=cfg.specaug_time_masks,
+                time_mask_frac=cfg.specaug_time_frac,
+            )
+
         x = mel.astype(self.dtype)
         # Conv subsampling ×subsample_factor along time (50 Hz at factor 2).
         f = cfg.subsample_factor

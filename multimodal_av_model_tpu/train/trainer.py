@@ -84,21 +84,53 @@ def label_params(
     return unflatten_dict(labels)
 
 
+def make_lr_schedule(tcfg, base_lr: float):
+    """Per-group LR schedule (reference: constant Adam only).  Every option
+    scales from the group's base LR so the 1e-4/2e-5 split survives."""
+    if tcfg.lr_schedule == "constant":
+        return base_lr
+    if tcfg.lr_schedule == "warmup_cosine":
+        return optax.warmup_cosine_decay_schedule(
+            init_value=0.0, peak_value=base_lr,
+            warmup_steps=max(tcfg.warmup_steps, 1),
+            decay_steps=max(tcfg.decay_steps, tcfg.warmup_steps + 1),
+            end_value=base_lr * tcfg.lr_min_ratio,
+        )
+    if tcfg.lr_schedule == "noam":
+        warm = max(tcfg.warmup_steps, 1)
+
+        def noam(step):
+            s = jnp.maximum(step, 1).astype(jnp.float32)
+            # Normalized so the peak (at step == warmup_steps) equals base_lr.
+            return base_lr * jnp.sqrt(float(warm)) * jnp.minimum(
+                jax.lax.rsqrt(s), s * warm ** -1.5
+            )
+
+        return noam
+    raise ValueError(f"unknown lr_schedule {tcfg.lr_schedule!r}")
+
+
 def make_optimizer(cfg: Config, params: dict, frozen_prefixes: tuple[str, ...] = ()):
     tcfg = cfg.train
     def adam(lr):
         chain = []
         if tcfg.grad_clip_norm:
             chain.append(optax.clip_by_global_norm(tcfg.grad_clip_norm))
-        chain.append(optax.adam(lr))
+        chain.append(optax.adam(make_lr_schedule(tcfg, lr)))
         return optax.chain(*chain)
 
     labels = label_params(params, frozen_prefixes, tcfg.audio_trainable_layers)
-    return optax.multi_transform(
+    tx = optax.multi_transform(
         {"base": adam(tcfg.learning_rate), "audio": adam(tcfg.audio_learning_rate),
          "frozen": optax.set_to_zero()},
         labels,
     )
+    if tcfg.grad_accum_steps > 1:
+        # k micro-batches average into one update; the schedule advances per
+        # UPDATE (MultiSteps holds the inner step count), so warmup/decay
+        # horizons are in optimizer steps regardless of k.
+        tx = optax.MultiSteps(tx, every_k_schedule=tcfg.grad_accum_steps)
+    return tx
 
 
 @dataclasses.dataclass
