@@ -4,9 +4,11 @@
 Measures utterances/sec of the full two-speaker train step (visual ResNet-18
 x2, log-mel Conformer x2 — fused Pallas frontend on TPU by default, fusion,
 contrastive, CTC, Adam update) on 4-second utterances, at the reference's
-production batch 8 (reference main.py:88) AND at batch 32 (feeding the chip —
-round-1 ran only batch 8 and left throughput on the table), with an MFU
-estimate from the compiled step's FLOP count.  Baseline: measured reference
+production batch 8 (reference main.py:88), at batch 16 (the single-chip
+sweet spot: beyond it XLA's auto-remat starts recomputing the visual trunk
+under memory pressure — ~30% of the b32 step is remat recompute, measured
+from the profiler trace), and at batch 32, with an MFU estimate from the
+compiled step's FLOP count.  Baseline: measured reference
 CPU throughput (benchmarks/reference_cpu.json, the reference's own torch
 modules on the same shapes).
 
@@ -23,9 +25,9 @@ import numpy as np
 VIDEO_FRAMES = 120          # 4 s at 30 fps
 SAMPLES = VIDEO_FRAMES * 534
 LABEL_LEN = 20
-BATCHES = (8, 32)
+BATCHES = (8, 16, 32)
 WARMUP = 2
-STEPS = {8: 30, 32: 15}
+STEPS = {8: 30, 16: 20, 32: 15}
 
 # bf16 peak of one TPU v5e (v5litepod) chip.  NOTE: the calibrated *achieved*
 # ceiling on this tunneled chip is ~93 TFLOP/s (chained 4096^3 bf16 matmuls),

@@ -74,6 +74,12 @@ class VisualEncoderConfig:
     norm: str = "batch"               # "batch" (reference parity) or "group" (stateless)
     output_dim: int = 512             # reference model/encoder.py:67
     image_size: int = 96              # reference dataset/multi_speaker_dataset.py:51
+    # Rematerialization of the visual trunk in the backward pass:
+    # "none" lets XLA's auto-remat decide (profiling shows it spends ~30% of
+    # a big-batch step recomputing under memory pressure); "full" recomputes
+    # the whole trunk forward instead of saving its activations (the trunk's
+    # early feature maps, [2B·T, 48, 48, 64]+, dominate live memory).
+    remat: str = "none"
 
 
 @dataclass

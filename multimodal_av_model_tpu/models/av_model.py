@@ -46,7 +46,19 @@ class MultiSpeakerAVModel(nn.Module):
 
     def setup(self):
         cfg = self.config
-        self.visual_encoder = VisualEncoder(cfg.visual, self.dtype)
+        if cfg.visual.remat == "full":
+            # Trade FLOPs for memory: recompute the trunk forward during
+            # backprop instead of saving its (very large) activations.
+            # static_argnums=(2,) marks ``train`` static (arg 0 is the module).
+            vis_cls = nn.checkpoint(
+                VisualEncoder, static_argnums=(2,),
+                policy=jax.checkpoint_policies.nothing_saveable,
+            )
+        elif cfg.visual.remat == "none":
+            vis_cls = VisualEncoder
+        else:
+            raise ValueError(f"unknown visual.remat {cfg.visual.remat!r}")
+        self.visual_encoder = vis_cls(cfg.visual, self.dtype)
         self.audio_encoder = AudioEncoder(cfg.audio, cfg.frontend, self.dtype)
         self.fusion = CrossAttentionFusion(cfg.fusion, self.dtype)
         self.decoder = CTCDecoder(cfg.decoder, self.dtype)

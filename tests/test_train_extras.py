@@ -175,3 +175,51 @@ def test_grad_accum_respects_group_lrs():
         Config().train.audio_learning_rate, rel=1e-3)
     assert abs(float(u["fusion"]["w"][0])) == pytest.approx(
         Config().train.learning_rate, rel=1e-3)
+
+
+# -- Visual-trunk rematerialization ---------------------------------------------
+
+def test_visual_remat_full_preserves_tree_and_grads():
+    from multimodal_av_model_tpu.models import MultiSpeakerAVModel
+
+    def tiny(remat):
+        cfg = Config()
+        a = cfg.model.audio
+        a.num_layers, a.d_model, a.num_heads = 1, 16, 2
+        a.ffn_dim, a.output_dim, a.middle_layers = 32, 16, (0,)
+        v = cfg.model.visual
+        v.frontend_channels, v.resnet_layers = 4, (1, 1, 1, 1)
+        v.resnet_channels, v.output_dim = (4, 4, 8, 8), 8
+        v.norm = "group"
+        v.remat = remat
+        f = cfg.model.fusion
+        f.fused_dim, f.num_heads = 8, 2
+        cfg.model.decoder.vocab_size = 20
+        return MultiSpeakerAVModel(cfg.model)
+
+    rng = np.random.default_rng(0)
+    B, T, S = 1, 4, 4 * 534
+    args = (
+        jnp.asarray(rng.uniform(size=(B, T, 1, 96, 96)).astype(np.float32)),
+        jnp.asarray(rng.uniform(size=(B, T, 1, 96, 96)).astype(np.float32)),
+        jnp.asarray((rng.standard_normal((B, S)) * 0.1).astype(np.float32)),
+        jnp.asarray(rng.integers(0, 3, (B, S)).astype(np.int32)),
+        jnp.asarray(rng.integers(0, 3, (B, S)).astype(np.int32)),
+    )
+    m0, m1 = tiny("none"), tiny("full")
+    p0 = m0.init(jax.random.PRNGKey(0), *args)
+    p1 = m1.init(jax.random.PRNGKey(0), *args)
+    # Checkpoints are interchangeable between the two settings.
+    assert (jax.tree_util.tree_structure(p0)
+            == jax.tree_util.tree_structure(p1))
+
+    def loss(m, p):
+        out = m.apply(p, *args, train=True,
+                      rngs={"dropout": jax.random.PRNGKey(1)})
+        return out["log_probs1"].sum() + out["contrast2"].sum()
+
+    g0 = jax.jit(jax.grad(lambda p: loss(m0, p)))(p0)
+    g1 = jax.jit(jax.grad(lambda p: loss(m1, p)))(p0)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=2e-3)
