@@ -222,6 +222,9 @@ class TrainConfig:
                                       # swallows batch errors,
                                       # model/trainer.py:162-164)
     checkpoint_dir: str = "checkpoints"
+    tensorboard_dir: str = ""         # non-empty → per-epoch TensorBoard
+                                      # scalars (tensorboardX, no-op if the
+                                      # package is absent)
     log_every: int = 100              # reference model/trainer.py:125
     keep_checkpoints: int = 3
 

@@ -56,11 +56,15 @@ class Transcriber:
         )
 
     @classmethod
-    def from_checkpoint(cls, config: Config, tokenizer, path: str, example_batch: dict,
+    def from_checkpoint(cls, config: Config, tokenizer, path, example_batch: dict,
                         dtype=None):
         """Build params with a jitted init at the example batch's shapes, then
-        load the checkpoint's params over them (template restore)."""
-        from .train.checkpoints import restore_checkpoint
+        load the checkpoint's params over them (template restore).
+
+        ``path`` may be a list of checkpoint files, in which case they are
+        uniformly averaged first (``train.checkpoints.average_checkpoints``,
+        the standard eval-time "model soup" trick)."""
+        from .train.checkpoints import average_checkpoints, restore_checkpoint
 
         model = MultiSpeakerAVModel(config.model, dtype=dtype or jax.numpy.bfloat16)
         b = example_batch
@@ -71,7 +75,10 @@ class Transcriber:
             jax.numpy.asarray(b["mask1"]), jax.numpy.asarray(b["mask2"]),
             jax.numpy.asarray(b["lip1_lengths"]), jax.numpy.asarray(b["lip2_lengths"]),
         )
-        ckpt = restore_checkpoint(path)
+        if isinstance(path, (list, tuple)):
+            ckpt = average_checkpoints(list(path))
+        else:
+            ckpt = restore_checkpoint(path)
         state = ckpt.get("state", ckpt)
         params = state.get("params", state) if isinstance(state, dict) else state.params
         variables = dict(variables)

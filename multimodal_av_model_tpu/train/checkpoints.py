@@ -81,6 +81,38 @@ def graft_subtree(target: dict, source: dict, keys: list[str]) -> dict:
     return out
 
 
+def average_checkpoints(paths: list[str]) -> dict:
+    """Uniform checkpoint averaging ("model soup"), the standard ASR
+    eval-time trick the reference lacks: element-wise mean of ``params``
+    (and ``batch_stats``) across checkpoint files.  Returns the FIRST
+    checkpoint's payload with the averaged leaves swapped in — optimizer
+    state and metadata stay the first file's (averaging them is
+    meaningless).  Use for serving/eval, not for resuming training.
+    """
+    if not paths:
+        raise ValueError("average_checkpoints needs at least one path")
+    payloads = [restore_checkpoint(p) for p in paths]
+
+    def state_of(payload):
+        return payload.get("state", payload)
+
+    out = payloads[0]
+    for key in ("params", "batch_stats"):
+        trees = [state_of(p).get(key) for p in payloads]
+        if any(t is None for t in trees) or not trees[0]:
+            continue
+        def mean_leaf(*leaves):
+            first = np.asarray(leaves[0])
+            if not np.issubdtype(first.dtype, np.floating):
+                return first            # step counters etc.: keep the first
+            acc = sum(np.asarray(l, np.float64) for l in leaves)
+            return (acc / len(leaves)).astype(first.dtype)
+
+        mean = jax.tree.map(mean_leaf, *trees)
+        state_of(out)[key] = mean
+    return out
+
+
 class CheckpointManager:
     """last / best-WER / best-loss rolling checkpoints + resume.
 

@@ -35,6 +35,41 @@ class CsvLogger:
         self._f.close()
 
 
+class TensorBoardLogger:
+    """Optional TensorBoard event writing (observability beyond the
+    reference's print+CSV).  Gated on ``tensorboardX`` being importable; a
+    missing dependency degrades to a no-op rather than failing training.
+    Enable with ``train.tensorboard_dir=<dir>``."""
+
+    def __init__(self, log_dir: str):
+        self._w = None
+        if not log_dir:
+            return
+        try:
+            from tensorboardX import SummaryWriter
+
+            self._w = SummaryWriter(log_dir)
+        except ImportError:
+            pass
+
+    @property
+    def active(self) -> bool:
+        return self._w is not None
+
+    def scalars(self, step: int, **values: float) -> None:
+        if self._w is None:
+            return
+        for k, v in values.items():
+            try:
+                self._w.add_scalar(k, float(v), step)
+            except (TypeError, ValueError):
+                pass
+
+    def close(self) -> None:
+        if self._w is not None:
+            self._w.close()
+
+
 class StepTimer:
     """Throughput / RTF accounting for the train loop (utterances/sec and
     realtime-factor are the project's headline metrics, BASELINE.md)."""

@@ -37,7 +37,7 @@ from ..ops.contrastive import contrastive_loss_with_mask
 from ..ops.ctc import ctc_greedy_decode, ctc_loss
 from ..ops.metrics import cer, wer
 from .checkpoints import CheckpointManager
-from .logging_utils import CsvLogger, StepTimer
+from .logging_utils import CsvLogger, StepTimer, TensorBoardLogger
 from .profiling import check_finite
 
 
@@ -423,6 +423,7 @@ class MultiSpeakerTrainer:
             ["epoch", "eval_loss", "wer1", "wer2", "average_wer", "cer", "jer"],
             resume=resume,
         )
+        tb = TensorBoardLogger(tcfg.tensorboard_dir)
         no_improve = 0
         best_loss = float("inf")
         for epoch in range(start_epoch, tcfg.max_epochs + 1):
@@ -434,6 +435,12 @@ class MultiSpeakerTrainer:
                 f"[epoch {epoch}] train_loss={train_loss:.4f} eval_loss={eval_loss:.4f} "
                 f"wer={eval_wer:.3f} cer={eval_cer:.3f} utt/s={throughput['utterances_per_sec']:.2f}"
             )
+            tb.scalars(epoch, **{
+                "train/loss": train_loss, "eval/loss": eval_loss,
+                "eval/wer": eval_wer, "eval/cer": eval_cer,
+                "eval/jer": per["jer"],
+                "throughput/utt_per_sec": throughput["utterances_per_sec"],
+            })
             train_log.log(epoch=epoch, loss=f"{train_loss:.4f}")
             eval_log.log(epoch=epoch, eval_loss=f"{eval_loss:.4f}",
                          wer1=f"{per['wer1']:.4f}", wer2=f"{per['wer2']:.4f}",
@@ -453,4 +460,5 @@ class MultiSpeakerTrainer:
                     break
         train_log.close()
         eval_log.close()
+        tb.close()
         return state

@@ -223,3 +223,107 @@ def test_visual_remat_full_preserves_tree_and_grads():
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=2e-3)
+
+
+# -- Checkpoint averaging -------------------------------------------------------
+
+def test_average_checkpoints_means_float_leaves(tmp_path):
+    from multimodal_av_model_tpu.train import average_checkpoints, save_checkpoint
+
+    def payload(scale):
+        return {
+            "state": {
+                "params": {"layer": {"w": np.full((3,), scale, np.float32),
+                                     "b": np.full((2,), scale * 10, np.float32)}},
+                "step": np.asarray(int(scale), np.int32),
+            },
+            "epoch": int(scale),
+        }
+
+    p1, p2 = str(tmp_path / "a.ckpt"), str(tmp_path / "b.ckpt")
+    save_checkpoint(p1, payload(1.0))
+    save_checkpoint(p2, payload(3.0))
+    avg = average_checkpoints([p1, p2])
+    np.testing.assert_allclose(avg["state"]["params"]["layer"]["w"],
+                               np.full((3,), 2.0, np.float32))
+    np.testing.assert_allclose(avg["state"]["params"]["layer"]["b"],
+                               np.full((2,), 20.0, np.float32))
+    # Integer leaves (step counters) keep the first checkpoint's value.
+    assert int(avg["state"]["step"]) == 1
+
+
+def test_transcriber_accepts_checkpoint_list(tmp_path):
+    from multimodal_av_model_tpu.infer import Transcriber
+    from multimodal_av_model_tpu.text import CharTokenizer
+    from multimodal_av_model_tpu.train import save_checkpoint
+
+    import os
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tok = CharTokenizer(os.path.join(root, "assets", "tokenizer800.vocab"))
+    cfg = Config()
+    a = cfg.model.audio
+    a.num_layers, a.d_model, a.num_heads = 1, 16, 2
+    a.ffn_dim, a.output_dim, a.middle_layers = 32, 16, (0,)
+    v = cfg.model.visual
+    v.frontend_channels, v.resnet_layers = 4, (1, 1, 1, 1)
+    v.resnet_channels, v.output_dim = (4, 4, 8, 8), 8
+    v.norm = "group"
+    f = cfg.model.fusion
+    f.fused_dim, f.num_heads = 8, 2
+    cfg.model.decoder.vocab_size = tok.vocab_size
+
+    rng = np.random.default_rng(0)
+    B, T, S = 1, 4, 4 * 534
+    batch = {
+        "lip1": rng.uniform(size=(B, T, 1, 96, 96)).astype(np.float32),
+        "lip2": rng.uniform(size=(B, T, 1, 96, 96)).astype(np.float32),
+        "audio": (rng.standard_normal((B, S)) * 0.1).astype(np.float32),
+        "mask1": rng.integers(0, 3, (B, S)).astype(np.int32),
+        "mask2": rng.integers(0, 3, (B, S)).astype(np.int32),
+        "lip1_lengths": np.full((B,), T, np.int32),
+        "lip2_lengths": np.full((B,), T, np.int32),
+    }
+    from multimodal_av_model_tpu.models import MultiSpeakerAVModel
+
+    model = MultiSpeakerAVModel(cfg.model)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), batch["lip1"], batch["lip2"], batch["audio"],
+        batch["mask1"], batch["mask2"], batch["lip1_lengths"], batch["lip2_lengths"],
+    )
+    p1 = str(tmp_path / "e1.ckpt")
+    p2 = str(tmp_path / "e2.ckpt")
+    save_checkpoint(p1, {"state": {"params": jax.device_get(variables["params"])}})
+    save_checkpoint(p2, {"state": {"params": jax.tree.map(
+        lambda x: x * 3.0, jax.device_get(variables["params"]))}})
+    t = Transcriber.from_checkpoint(cfg, tok, [p1, p2], batch)
+    texts = t.transcribe(batch, use_beam=False)
+    assert len(texts) == B and isinstance(texts[0], tuple)
+    # Averaged params = 2x the originals, not either endpoint.
+    got = jax.tree.leaves(t.variables["params"])[0]
+    want = jax.tree.leaves(variables["params"])[0] * 2.0
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+
+# -- TensorBoard logger ---------------------------------------------------------
+
+def test_tensorboard_logger_writes_events(tmp_path):
+    from multimodal_av_model_tpu.train import TensorBoardLogger
+
+    tb = TensorBoardLogger(str(tmp_path / "tb"))
+    if not tb.active:                       # tensorboardX absent: no-op mode
+        tb.scalars(1, loss=1.0)
+        tb.close()
+        return
+    tb.scalars(1, **{"train/loss": 1.5, "eval/cer": 0.5})
+    tb.close()
+    import glob
+    assert glob.glob(str(tmp_path / "tb" / "events.out.tfevents.*"))
+
+
+def test_tensorboard_logger_empty_dir_is_noop():
+    from multimodal_av_model_tpu.train import TensorBoardLogger
+
+    tb = TensorBoardLogger("")
+    assert not tb.active
+    tb.scalars(0, loss=1.0)                 # must not raise
+    tb.close()
