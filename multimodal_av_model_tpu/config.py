@@ -122,6 +122,12 @@ class DecodeConfig:
     # "greedy" = argmax collapse.
     algorithm: str = "reference_beam"
     prefix_top_k: int = 8             # emission pruning for prefix_beam
+    # Shallow fusion (prefix_beam only): path to a bigram LM table saved by
+    # text/ngram_lm.py (.npy, [V+1, V] log-probs).  Empty = no fusion.
+    lm_path: str = ""
+    lm_weight: float = 0.3            # α on log P_lm per emitted token
+    length_bonus: float = 0.0         # β per emitted token (counters the
+                                      # LM's short-transcript bias)
     # Streaming serving (streaming.py): emission granularity and how much
     # already-seen audio the encoder attends over per chunk.
     stream_chunk_seconds: float = 2.0

@@ -39,11 +39,27 @@ class StructuredPairSource:
         sample_rate: int = 16000,
         lip_size: int = 96,
         samples_per_frame: int = 534,
+        markov: bool = False,
+        markov_seed: int = 1234,
     ):
+        """``markov=True`` draws label sequences from a fixed sparse bigram
+        chain (each token has 3 likely successors) instead of uniform —
+        giving transcripts the sequential structure a fusion LM can exploit
+        (text/ngram_lm.py).  The chain itself is fixed by ``markov_seed``,
+        independent of ``seed``, so train/held-out sources share one
+        "language"."""
         self.tokenizer = tokenizer
         self.rng = np.random.default_rng(seed)
         # Token inventory: ids past the specials (tokenizer800: 0-4).
         self.token_ids = np.arange(5, 5 + n_tokens)
+        self.transition = None
+        if markov:
+            chain_rng = np.random.default_rng(markov_seed)
+            trans = np.full((n_tokens, n_tokens), 0.1 / n_tokens)
+            for i in range(n_tokens):
+                succ = chain_rng.choice(n_tokens, size=3, replace=False)
+                trans[i, succ] += 0.9 / 3
+            self.transition = trans / trans.sum(axis=1, keepdims=True)
         self.label_len = label_len
         self.frames_per_token = frames_per_token
         self.fps = fps
@@ -66,7 +82,14 @@ class StructuredPairSource:
 
     def one_utterance(self):
         L = int(self.rng.integers(*self.label_len))
-        tok_idx = self.rng.integers(0, len(self.token_ids), size=L)
+        if self.transition is None:
+            tok_idx = self.rng.integers(0, len(self.token_ids), size=L)
+        else:
+            n = len(self.token_ids)
+            tok_idx = np.empty(L, np.int64)
+            tok_idx[0] = self.rng.integers(0, n)
+            for j in range(1, L):
+                tok_idx[j] = self.rng.choice(n, p=self.transition[tok_idx[j - 1]])
         label = self.token_ids[tok_idx].astype(np.int64)
 
         spf = self.samples_per_frame * self.frames_per_token

@@ -24,15 +24,34 @@ from .ops.ctc import ctc_greedy_decode
 from .ops.prefix_beam_search import prefix_beam_search_decode
 
 
+_LM_CACHE: dict[str, Any] = {}
+
+
+def _fusion_lm(config: Config):
+    """Bigram LM table for shallow fusion, cached per path ('' → None)."""
+    path = config.decode.lm_path
+    if not path:
+        return None
+    if path not in _LM_CACHE:
+        from .text.ngram_lm import load_bigram_lm
+
+        _LM_CACHE[path] = load_bigram_lm(path)
+    return _LM_CACHE[path]
+
+
 def decode_ids(config: Config, log_probs, lengths, use_beam: bool = True):
     """Decoder dispatch per ``config.decode.algorithm`` → ``(ids, out_len)``."""
     blank = config.model.decoder.blank_id
     if not use_beam:
         return ctc_greedy_decode(log_probs, lengths, blank)
     if config.decode.algorithm == "prefix_beam":
+        lm = _fusion_lm(config)
         ids, out_len, _ = prefix_beam_search_decode(
             log_probs, lengths, config.decode.beam_width,
-            config.decode.prefix_top_k, blank)
+            config.decode.prefix_top_k, blank,
+            lm=lm,
+            lm_weight=config.decode.lm_weight if lm is not None else 0.0,
+            length_bonus=config.decode.length_bonus if lm is not None else 0.0)
         return ids, out_len
     if config.decode.algorithm == "reference_beam":
         ids, out_len, _ = beam_search_decode(

@@ -56,8 +56,17 @@ def _group_logsumexp(eq, vals):
 
 
 def _prefix_beam_single(log_probs, length, beam_width: int, top_k: int,
-                        blank_id: int):
-    """``log_probs: [T, V]`` → ``(prefix [T] (-1 padded), prefix_len, score)``."""
+                        blank_id: int, lm=None, lm_weight=0.0,
+                        length_bonus=0.0):
+    """``log_probs: [T, V]`` → ``(prefix [T] (-1 padded), prefix_len, score)``.
+
+    With ``lm`` (a ``[V+1, V]`` bigram log-prob table, last row = BOS
+    context — text/ngram_lm.py), every candidate that EMITS a token ``c``
+    carries an extra ``lm_weight·log P_lm(c | last)`` + ``length_bonus``
+    (shallow fusion; the bonus counters the LM's short-transcript bias).
+    Stay/repeat candidates add no token and get no bonus, so the cumulative
+    beam score is ``log P_am + α·log P_lm(prefix) + β·|prefix|`` exactly.
+    """
     T, V = log_probs.shape
     W, K = beam_width, min(top_k, V)
     M = W * (K + 1)
@@ -93,6 +102,10 @@ def _prefix_beam_single(log_probs, length, beam_width: int, top_k: int,
         same = (c == last[:, None]) & has_last[:, None]
         base = jnp.where(same, pb[:, None], total[:, None])           # split vs extend
         ext_pnb = jnp.where(is_blank, _NEG_INF, base + pc)
+        if lm is not None:
+            ctx = jnp.where(has_last, last, V)                        # BOS = V
+            lm_bonus = lm_weight * lm[ctx[:, None], c] + length_bonus
+            ext_pnb = jnp.where(is_blank, _NEG_INF, ext_pnb + lm_bonus)
         at_end = cols[None, :] == lens[:, None]                       # [W, T]
         ext_prefixes = jnp.where(at_end[:, None, :], c[:, :, None],
                                  prefixes[:, None, :])                # [W, K, T]
@@ -146,6 +159,9 @@ def prefix_beam_search_decode(
     top_k: int = 8,
     blank_id: int = 3,
     pad_id: int = -1,
+    lm: jnp.ndarray | None = None,
+    lm_weight: float = 0.0,
+    length_bonus: float = 0.0,
 ):
     """Batched CTC prefix beam search, fully on device.
 
@@ -154,6 +170,9 @@ def prefix_beam_search_decode(
       lengths: ``[B]`` valid frame counts.
       beam_width: number of collapsed prefixes kept per frame.
       top_k: emission tokens considered per frame (pruning; ``V`` = exact).
+      lm / lm_weight / length_bonus: optional shallow fusion with a bigram
+        LM table ``[V+1, V]`` (text/ngram_lm.py; last row = BOS context):
+        beams rank on ``log P_am + lm_weight·log P_lm + length_bonus·|y|``.
     Returns:
       ``(ids [B, T] label ids padded with pad_id, out_lengths [B],
       log_scores [B])`` — ids are already collapsed (prefixes are label
@@ -161,8 +180,11 @@ def prefix_beam_search_decode(
     """
     log_probs = jnp.asarray(log_probs, jnp.float32)
     lengths = jnp.asarray(lengths, jnp.int32)
+    if lm is not None:
+        lm = jnp.asarray(lm, jnp.float32)
     ids, out_len, score = jax.vmap(
-        lambda lp, n: _prefix_beam_single(lp, n, beam_width, top_k, blank_id)
+        lambda lp, n: _prefix_beam_single(lp, n, beam_width, top_k, blank_id,
+                                          lm, lm_weight, length_bonus)
     )(log_probs, lengths)
     T = ids.shape[1]
     ids = jnp.where(jnp.arange(T)[None, :] < out_len[:, None], ids, pad_id)

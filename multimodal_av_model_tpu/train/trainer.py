@@ -351,14 +351,20 @@ class MultiSpeakerTrainer:
         return state, (total / max(n, 1)), timer.summary()
 
     def _decode(self, log_probs, lengths):
-        """Decoder dispatch per ``config.decode.algorithm``."""
+        """Decoder dispatch per ``config.decode.algorithm`` (LM shallow
+        fusion included when ``decode.lm_path`` is set — see infer.py)."""
         dcfg = self.config.decode
         blank = self.config.model.decoder.blank_id
         if dcfg.algorithm == "prefix_beam":
+            from ..infer import _fusion_lm
             from ..ops.prefix_beam_search import prefix_beam_search_decode
 
+            lm = _fusion_lm(self.config)
             ids, out_len, _ = prefix_beam_search_decode(
-                log_probs, lengths, dcfg.beam_width, dcfg.prefix_top_k, blank)
+                log_probs, lengths, dcfg.beam_width, dcfg.prefix_top_k, blank,
+                lm=lm,
+                lm_weight=dcfg.lm_weight if lm is not None else 0.0,
+                length_bonus=dcfg.length_bonus if lm is not None else 0.0)
             return ids, out_len
         if dcfg.algorithm == "reference_beam":
             ids, out_len, _ = beam_search_decode(
