@@ -12,6 +12,7 @@ search per bucket shape, host work limited to id→text.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any
 
 import jax
@@ -134,6 +135,138 @@ class Transcriber:
                 self.tokenizer.decode(ids2[b, : len2[b]].tolist()),
             ))
         return texts
+
+
+def export_transcriber(t: Transcriber, out_dir: str, example_batch: dict,
+                       use_beam: bool = True) -> None:
+    """Package the full serving computation as a deployment artifact.
+
+    Writes to ``out_dir``:
+      ``model.stablehlo``  — ``jax.export`` serialization of ONE jitted
+                             function: forward + on-device decode
+                             (ids out, not logits);
+      ``params.ckpt``      — the variables (msgpack checkpoint);
+      ``lm.npy``           — the fusion LM table, if configured;
+      ``meta.json``        — input shapes/dtypes + decode settings.
+
+    The artifact reloads with ``ExportedTranscriber.load`` and serves
+    WITHOUT the model classes or config — the computation is frozen in the
+    blob.  Shapes are static (one artifact per bucket shape, matching the
+    framework's bucketed batching); params are an *argument* of the
+    exported function, not a constant, so the blob stays small and the
+    remote-compile size limit is never hit.
+    """
+    import json
+
+    from jax import export as jax_export
+
+    from .train.checkpoints import save_checkpoint
+
+    os.makedirs(out_dir, exist_ok=True)
+    lm = _fusion_lm(t.config)
+    cfg = t.config
+
+    def serve(variables, lm_table, lip1, lip2, audio, mask1, mask2, l1, l2):
+        out = t.model.apply(variables, lip1, lip2, audio, mask1, mask2, l1, l2)
+        blank = cfg.model.decoder.blank_id
+        if not use_beam:
+            ids1, len1 = ctc_greedy_decode(out["log_probs1"], out["input_lengths1"], blank)
+            ids2, len2 = ctc_greedy_decode(out["log_probs2"], out["input_lengths2"], blank)
+            return ids1, len1, ids2, len2
+        def beam(lp, lens):
+            if cfg.decode.algorithm == "prefix_beam":
+                ids, out_len, _ = prefix_beam_search_decode(
+                    lp, lens, cfg.decode.beam_width, cfg.decode.prefix_top_k,
+                    blank, lm=lm_table,
+                    lm_weight=cfg.decode.lm_weight if lm_table is not None else 0.0,
+                    length_bonus=(cfg.decode.length_bonus
+                                  if lm_table is not None else 0.0))
+            else:
+                ids, out_len, _ = beam_search_decode(
+                    lp, lens, cfg.decode.beam_width, blank)
+            return ids, out_len
+
+        ids1, len1 = beam(out["log_probs1"], out["input_lengths1"])
+        ids2, len2 = beam(out["log_probs2"], out["input_lengths2"])
+        return ids1, len1, ids2, len2
+
+    import jax.numpy as jnp
+
+    keys = ("lip1", "lip2", "audio", "mask1", "mask2",
+            "lip1_lengths", "lip2_lengths")
+    batch_structs = [
+        jax.ShapeDtypeStruct(np.asarray(example_batch[k]).shape,
+                             np.asarray(example_batch[k]).dtype)
+        for k in keys
+    ]
+    var_struct = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype),
+        t.variables)
+    lm_struct = (None if lm is None
+                 else jax.ShapeDtypeStruct(lm.shape, np.float32))
+    exp = jax_export.export(jax.jit(serve))(var_struct, lm_struct, *batch_structs)
+
+    with open(os.path.join(out_dir, "model.stablehlo"), "wb") as f:
+        f.write(exp.serialize())
+    save_checkpoint(os.path.join(out_dir, "params.ckpt"), t.variables)
+    if lm is not None:
+        np.save(os.path.join(out_dir, "lm.npy"), np.asarray(lm))
+    import shutil
+
+    vocab_src = getattr(t.tokenizer, "vocab_path", None)
+    if vocab_src and os.path.isfile(vocab_src):
+        shutil.copy(vocab_src, os.path.join(out_dir, "vocab.txt"))
+    with open(os.path.join(out_dir, "meta.json"), "w") as f:
+        json.dump({
+            "keys": list(keys),
+            "shapes": {k: list(np.asarray(example_batch[k]).shape) for k in keys},
+            "use_beam": use_beam,
+            "algorithm": cfg.decode.algorithm,
+            "has_lm": lm is not None,
+        }, f, indent=2)
+
+
+@dataclasses.dataclass
+class ExportedTranscriber:
+    """Serve from an ``export_transcriber`` artifact — no model code, no
+    config, no retracing; the computation is frozen in the StableHLO blob."""
+
+    exported: Any
+    variables: Any
+    tokenizer: Any
+    lm: Any = None
+
+    @classmethod
+    def load(cls, out_dir: str, tokenizer=None):
+        from jax import export as jax_export
+
+        from .train.checkpoints import restore_checkpoint
+
+        with open(os.path.join(out_dir, "model.stablehlo"), "rb") as f:
+            exported = jax_export.deserialize(f.read())
+        variables = restore_checkpoint(os.path.join(out_dir, "params.ckpt"))
+        lm_path = os.path.join(out_dir, "lm.npy")
+        lm = np.load(lm_path) if os.path.isfile(lm_path) else None
+        if tokenizer is None:
+            from .text import CharTokenizer
+
+            tokenizer = CharTokenizer(os.path.join(out_dir, "vocab.txt"))
+        return cls(exported, variables, tokenizer, lm)
+
+    def transcribe(self, batch: dict):
+        args = [self.variables]
+        args.append(None if self.lm is None else self.lm)
+        for k in ("lip1", "lip2", "audio", "mask1", "mask2",
+                  "lip1_lengths", "lip2_lengths"):
+            args.append(np.asarray(batch[k]))
+        ids1, len1, ids2, len2 = self.exported.call(*args)
+        ids1, len1 = np.asarray(ids1), np.asarray(len1)
+        ids2, len2 = np.asarray(ids2), np.asarray(len2)
+        return [
+            (self.tokenizer.decode(ids1[b, : len1[b]].tolist()),
+             self.tokenizer.decode(ids2[b, : len2[b]].tolist()))
+            for b in range(ids1.shape[0])
+        ]
 
 
 @dataclasses.dataclass

@@ -110,11 +110,14 @@ def build_data(cfg, tokenizer, synthetic: bool, device_put: bool = True):
             make_factory(val_sampler, cfg.train.eval_batch_size))
 
 
-def run_infer(cfg, tokenizer, synthetic: bool) -> None:
+def run_infer(cfg, tokenizer, synthetic: bool, export_dir: str = "") -> None:
     """Serving entry (`--infer`): checkpoint → per-utterance transcripts on
     the eval split (or synthetic pairs).  The reference has no inference
     surface at all — decoding exists only inside its eval loop
-    (reference model/trainer.py:179-252)."""
+    (reference model/trainer.py:179-252).  With ``--export=<dir>``, the
+    full serving computation (forward + on-device decode) is additionally
+    packaged as a deployment artifact (StableHLO blob + params + vocab
+    [+ LM], loadable via ``ExportedTranscriber`` with no model code)."""
     import jax
 
     from .infer import Transcriber
@@ -129,6 +132,11 @@ def run_infer(cfg, tokenizer, synthetic: bool) -> None:
     dtype = {"bfloat16": jax.numpy.bfloat16, "float32": jax.numpy.float32}[cfg.model.dtype]
     first = next(iter(val_factory()))
     transcriber = Transcriber.from_checkpoint(cfg, tokenizer, ckpt, first, dtype=dtype)
+    if export_dir:
+        from .infer import export_transcriber
+
+        export_transcriber(transcriber, export_dir, first)
+        print(f"exported serving artifact to {export_dir}")
     print(f"transcribing with {ckpt}")
     n = 0
     for batch in val_factory():
@@ -279,12 +287,16 @@ def main(argv: list[str] | None = None) -> None:
     argv = [a for a in argv if a not in ("--synthetic", "--infer")]
     family = "av"
     stream_wav = None
+    export_dir = ""
     for a in list(argv):
         if a.startswith("--family="):
             family = a.split("=", 1)[1]
             argv.remove(a)
         elif a.startswith("--stream="):
             stream_wav = a.split("=", 1)[1]
+            argv.remove(a)
+        elif a.startswith("--export="):
+            export_dir = a.split("=", 1)[1]
             argv.remove(a)
     if family not in ("av", "audio", "visual", "ssl"):
         raise SystemExit(f"--family must be av|audio|visual|ssl, got {family}")
@@ -310,7 +322,7 @@ def main(argv: list[str] | None = None) -> None:
     if infer:
         if family != "av":
             raise SystemExit("--infer currently serves the flagship (av) family")
-        run_infer(cfg, tokenizer, synthetic)
+        run_infer(cfg, tokenizer, synthetic, export_dir)
         return
     if family == "ssl":
         run_ssl_pretrain(cfg, tokenizer, synthetic)

@@ -32,6 +32,7 @@ class CharTokenizer:
     """Loads a tab-separated ``.vocab`` file into token↔id maps."""
 
     def __init__(self, vocab_path: str):
+        self.vocab_path = vocab_path       # kept for artifact export (infer.py)
         self.token_to_id: dict[str, int] = {}
         self.id_to_token: list[str] = []
         with open(vocab_path, "r", encoding="utf-8") as f:

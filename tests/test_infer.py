@@ -122,3 +122,54 @@ def test_legacy_pair_sample_builder(tmp_path):
     assert sample["frames_A"].shape[0] == 3
     assert sample["mel"].shape[-1] == 80
     assert len(sample["label_A"]) == 3
+
+
+def test_export_transcriber_round_trip(tmp_path):
+    """Full serving artifact: export → load without model code → identical
+    transcripts (greedy and prefix-beam+LM variants)."""
+    from multimodal_av_model_tpu.infer import ExportedTranscriber, export_transcriber
+
+    tok = CharTokenizer(VOCAB)
+    cfg = tiny_config()
+    cfg.model.decoder.vocab_size = tok.vocab_size
+    cfg.model.fusion.temporal_model = "transformer"
+    cfg.decode.algorithm = "prefix_beam"
+
+    src = SyntheticPairSource(tok, seed=0, video_frames=(4, 7), lip_size=24,
+                              label_len=(2, 5))
+    batch = collate_pairs([src.load_pair() for _ in range(2)],
+                          BucketSpec(8, 4272, 8))
+
+    model = MultiSpeakerAVModel(cfg.model)
+    trainer = MultiSpeakerTrainer(cfg, model, tok)
+    state = trainer.init_state(0, batch)
+    path = str(tmp_path / "m.ckpt")
+    save_checkpoint(path, {"state": jax.device_get(state), "epoch": 1})
+    t = Transcriber.from_checkpoint(cfg, tok, path, batch, dtype=jax.numpy.float32)
+
+    # LM fusion configured → the table ships inside the artifact.
+    from multimodal_av_model_tpu.text.ngram_lm import save_bigram_lm, train_bigram_lm
+
+    lm_path = str(tmp_path / "lm.npy")
+    save_bigram_lm(lm_path, train_bigram_lm([[5, 6, 7]], tok.vocab_size))
+    cfg.decode.lm_path = lm_path
+    cfg.decode.lm_weight = 0.3
+    cfg.decode.length_bonus = 0.5
+
+    out_dir = str(tmp_path / "artifact")
+    export_transcriber(t, out_dir, batch, use_beam=True)
+    for f in ("model.stablehlo", "params.ckpt", "meta.json", "vocab.txt", "lm.npy"):
+        assert os.path.isfile(os.path.join(out_dir, f)), f
+
+    # Load with NO tokenizer/config/model objects — everything from disk.
+    served = ExportedTranscriber.load(out_dir)
+    got = served.transcribe(batch)
+    want = t.transcribe(batch, use_beam=True)
+    assert got == want
+
+    # Greedy artifact too.
+    out_dir2 = str(tmp_path / "artifact_greedy")
+    cfg.decode.lm_path = ""
+    export_transcriber(t, out_dir2, batch, use_beam=False)
+    served2 = ExportedTranscriber.load(out_dir2)
+    assert served2.transcribe(batch) == t.transcribe(batch, use_beam=False)
