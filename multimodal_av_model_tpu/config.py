@@ -76,9 +76,11 @@ class VisualEncoderConfig:
     image_size: int = 96              # reference dataset/multi_speaker_dataset.py:51
     # Rematerialization of the visual trunk in the backward pass:
     # "none" lets XLA's auto-remat decide (profiling shows it spends ~30% of
-    # a big-batch step recomputing under memory pressure); "full" recomputes
-    # the whole trunk forward instead of saving its activations (the trunk's
-    # early feature maps, [2B·T, 48, 48, 64]+, dominate live memory).
+    # a big-batch step recomputing under memory pressure); "frontend"
+    # recomputes only the frontend conv/norm/pool (its [2B·T, 48, 48, C]
+    # activations are the largest live tensors, its recompute the cheapest);
+    # "full" recomputes the whole trunk (measured slower than XLA's own
+    # choice at production shapes — a memory-relief option only).
     remat: str = "none"
 
 

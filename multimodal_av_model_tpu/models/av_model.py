@@ -54,7 +54,9 @@ class MultiSpeakerAVModel(nn.Module):
                 VisualEncoder, static_argnums=(2,),
                 policy=jax.checkpoint_policies.nothing_saveable,
             )
-        elif cfg.visual.remat == "none":
+        elif cfg.visual.remat in ("none", "frontend"):
+            # "frontend" is handled inside VisualEncoder itself (only the
+            # frontend sub-computation is checkpointed).
             vis_cls = VisualEncoder
         else:
             raise ValueError(f"unknown visual.remat {cfg.visual.remat!r}")

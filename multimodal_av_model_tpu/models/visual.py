@@ -96,20 +96,30 @@ class VisualEncoder(nn.Module):
         x = jnp.concatenate([xp[:, k : k + T] for k in range(K)], axis=-1)
         x = x.reshape(B * T, H, W, C * K)
 
-        x = nn.Conv(
-            cfg.frontend_channels,
-            kernel_size=(7, 7),
-            strides=(2, 2),
-            padding=((3, 3), (3, 3)),
-            use_bias=False,
-            dtype=self.dtype,
-            name="frontend_conv",
-        )(x)
-        x = make_norm(cfg.norm, self.dtype, use_running_average=not train)(x)
-        x = PReLU(dtype=self.dtype)(x)
-        x = nn.max_pool(
-            x, window_shape=(3, 3), strides=(2, 2), padding=((1, 1), (1, 1))
-        )
+        def frontend(mdl, h, train):
+            h = nn.Conv(
+                cfg.frontend_channels,
+                kernel_size=(7, 7),
+                strides=(2, 2),
+                padding=((3, 3), (3, 3)),
+                use_bias=False,
+                dtype=mdl.dtype,
+                name="frontend_conv",
+            )(h)
+            h = make_norm(cfg.norm, mdl.dtype, use_running_average=not train)(h)
+            h = PReLU(dtype=mdl.dtype)(h)
+            return nn.max_pool(
+                h, window_shape=(3, 3), strides=(2, 2), padding=((1, 1), (1, 1))
+            )
+
+        if cfg.remat == "frontend":
+            # Recompute ONLY the frontend in the backward: its activations
+            # ([B·T, 48, 48, C] and friends) are the largest live tensors
+            # but its recompute is one cheap conv + norm — the opposite
+            # trade from remat="full" (see av_model.py).  Same param paths
+            # (the lifted function runs in this module's scope).
+            frontend = nn.checkpoint(frontend, static_argnums=(2,))
+        x = frontend(self, x, train)
 
         x = ResNetTrunk(cfg.resnet_layers, cfg.resnet_channels, cfg.norm, self.dtype,
                         name="trunk")(x, train)

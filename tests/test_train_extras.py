@@ -179,7 +179,8 @@ def test_grad_accum_respects_group_lrs():
 
 # -- Visual-trunk rematerialization ---------------------------------------------
 
-def test_visual_remat_full_preserves_tree_and_grads():
+@pytest.mark.parametrize("mode", ["full", "frontend"])
+def test_visual_remat_preserves_tree_and_grads(mode):
     from multimodal_av_model_tpu.models import MultiSpeakerAVModel
 
     def tiny(remat):
@@ -206,7 +207,7 @@ def test_visual_remat_full_preserves_tree_and_grads():
         jnp.asarray(rng.integers(0, 3, (B, S)).astype(np.int32)),
         jnp.asarray(rng.integers(0, 3, (B, S)).astype(np.int32)),
     )
-    m0, m1 = tiny("none"), tiny("full")
+    m0, m1 = tiny("none"), tiny(mode)
     p0 = m0.init(jax.random.PRNGKey(0), *args)
     p1 = m1.init(jax.random.PRNGKey(0), *args)
     # Checkpoints are interchangeable between the two settings.
