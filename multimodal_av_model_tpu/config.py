@@ -78,9 +78,11 @@ class VisualEncoderConfig:
     # "none" lets XLA's auto-remat decide (profiling shows it spends ~30% of
     # a big-batch step recomputing under memory pressure); "frontend"
     # recomputes only the frontend conv/norm/pool (its [2B·T, 48, 48, C]
-    # activations are the largest live tensors, its recompute the cheapest);
-    # "full" recomputes the whole trunk (measured slower than XLA's own
-    # choice at production shapes — a memory-relief option only).
+    # activations are the largest live tensors, its recompute the cheapest
+    # — the right setting at batch ≥ 32, docs/DESIGN.md §2); "stage1" also
+    # checkpoints the ResNet stage-1 blocks (measured dominated at this
+    # trunk size; kept for deeper trunks); "full" recomputes the whole
+    # trunk (memory relief only).
     remat: str = "none"
 
 

@@ -54,9 +54,9 @@ class MultiSpeakerAVModel(nn.Module):
                 VisualEncoder, static_argnums=(2,),
                 policy=jax.checkpoint_policies.nothing_saveable,
             )
-        elif cfg.visual.remat in ("none", "frontend"):
-            # "frontend" is handled inside VisualEncoder itself (only the
-            # frontend sub-computation is checkpointed).
+        elif cfg.visual.remat in ("none", "frontend", "stage1"):
+            # "frontend"/"stage1" are handled inside VisualEncoder itself
+            # (only those sub-computations are checkpointed).
             vis_cls = VisualEncoder
         else:
             raise ValueError(f"unknown visual.remat {cfg.visual.remat!r}")

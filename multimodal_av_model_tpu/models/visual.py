@@ -55,14 +55,19 @@ class ResNetTrunk(nn.Module):
     channels: tuple[int, ...] = (64, 128, 256, 512)
     norm: str = "batch"
     dtype: Dtype = jnp.float32
+    remat_stage1: bool = False        # checkpoint stage-1 blocks (the
+                                      # largest trunk activations) — see
+                                      # VisualEncoderConfig.remat="stage1"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         for stage, (blocks, feats) in enumerate(zip(self.layers, self.channels)):
+            block_cls = (nn.checkpoint(BasicBlock, static_argnums=(2,))
+                         if (self.remat_stage1 and stage == 0) else BasicBlock)
             for b in range(blocks):
                 stride = 2 if (stage > 0 and b == 0) else 1
-                x = BasicBlock(feats, stride, self.norm, self.dtype,
-                               name=f"layer{stage + 1}_{b}")(x, train)
+                x = block_cls(feats, stride, self.norm, self.dtype,
+                              name=f"layer{stage + 1}_{b}")(x, train)
         return x.mean(axis=(1, 2))                  # adaptive avg-pool to 1×1
 
 
@@ -112,7 +117,7 @@ class VisualEncoder(nn.Module):
                 h, window_shape=(3, 3), strides=(2, 2), padding=((1, 1), (1, 1))
             )
 
-        if cfg.remat == "frontend":
+        if cfg.remat in ("frontend", "stage1"):
             # Recompute ONLY the frontend in the backward: its activations
             # ([B·T, 48, 48, C] and friends) are the largest live tensors
             # but its recompute is one cheap conv + norm — the opposite
@@ -122,6 +127,7 @@ class VisualEncoder(nn.Module):
         x = frontend(self, x, train)
 
         x = ResNetTrunk(cfg.resnet_layers, cfg.resnet_channels, cfg.norm, self.dtype,
+                        remat_stage1=(cfg.remat == "stage1"),
                         name="trunk")(x, train)
         x = x.reshape(B, T, cfg.resnet_channels[-1])
         if cfg.resnet_channels[-1] != cfg.output_dim:

@@ -179,7 +179,7 @@ def test_grad_accum_respects_group_lrs():
 
 # -- Visual-trunk rematerialization ---------------------------------------------
 
-@pytest.mark.parametrize("mode", ["full", "frontend"])
+@pytest.mark.parametrize("mode", ["full", "frontend", "stage1"])
 def test_visual_remat_preserves_tree_and_grads(mode):
     from multimodal_av_model_tpu.models import MultiSpeakerAVModel
 
