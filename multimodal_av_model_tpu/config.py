@@ -120,11 +120,14 @@ class DecoderConfig:
 @dataclass
 class DecodeConfig:
     beam_width: int = 5               # reference model/trainer.py:230
+    # "prefix_beam" = true CTC prefix search (sums alignment mass per
+    # transcript, ops/prefix_beam_search.py) — the PRODUCTION default: at
+    # equal beam width/decode cost it measured CER 0.365 vs the reference
+    # algorithm's 0.598 (benchmarks/decoder_quality.json; docs/DESIGN.md §6).
     # "reference_beam" = exact reference semantics (path beam, collapse at
-    # the end); "prefix_beam" = true CTC prefix search (sums alignment mass
-    # per transcript — strictly better decoder, ops/prefix_beam_search.py);
+    # the end; reference beam_search.py:2-42) — kept for parity tests.
     # "greedy" = argmax collapse.
-    algorithm: str = "reference_beam"
+    algorithm: str = "prefix_beam"
     prefix_top_k: int = 8             # emission pruning for prefix_beam
     # Shallow fusion (prefix_beam only): path to a bigram LM table saved by
     # text/ngram_lm.py (.npy, [V+1, V] log-probs).  Empty = no fusion.

@@ -43,7 +43,7 @@ def _fusion_lm(config: Config):
 def decode_ids(config: Config, log_probs, lengths, use_beam: bool = True):
     """Decoder dispatch per ``config.decode.algorithm`` → ``(ids, out_len)``."""
     blank = config.model.decoder.blank_id
-    if not use_beam:
+    if not use_beam or config.decode.algorithm == "greedy":
         return ctc_greedy_decode(log_probs, lengths, blank)
     if config.decode.algorithm == "prefix_beam":
         lm = _fusion_lm(config)
@@ -99,19 +99,21 @@ class Transcriber:
             ckpt = average_checkpoints(list(path))
         else:
             ckpt = restore_checkpoint(path)
+        from flax import serialization
+
         state = ckpt.get("state", ckpt)
         params = state.get("params", state) if isinstance(state, dict) else state.params
         variables = dict(variables)
-        variables["params"] = jax.tree.unflatten(
-            jax.tree.structure(variables["params"]), jax.tree.leaves(params)
-        )
+        # Restore by name into the init template (never by flattened leaf
+        # order — that silently mispairs on any traversal-order difference).
+        variables["params"] = serialization.from_state_dict(
+            variables["params"], params)
         # BatchNorm (the default visual norm) predicts with RUNNING statistics:
         # restore them too, or eval would run on init-value stats.
         stats = state.get("batch_stats") if isinstance(state, dict) else state.batch_stats
         if stats and "batch_stats" in variables:
-            variables["batch_stats"] = jax.tree.unflatten(
-                jax.tree.structure(variables["batch_stats"]), jax.tree.leaves(stats)
-            )
+            variables["batch_stats"] = serialization.from_state_dict(
+                variables["batch_stats"], stats)
         return cls(config, tokenizer, variables, dtype)
 
     def transcribe(self, batch: dict, use_beam: bool = True):

@@ -183,10 +183,15 @@ def run_stream(cfg, tokenizer, wav_path: str) -> None:
         jax.numpy.zeros((1, s.window_samples), jax.numpy.float32),
         jax.numpy.ones((1, s.window_samples), bool),
     )
-    state = restore_checkpoint(ckpt).get("state", {})
+    from flax import serialization
+
+    payload = restore_checkpoint(ckpt)
+    state = payload.get("state", payload)        # wrapped or bare checkpoints
     params = state.get("params", state)
-    s.variables = {"params": jax.tree.unflatten(
-        jax.tree.structure(template["params"]), jax.tree.leaves(params))}
+    # Restore BY NAME into the template (not by flattened leaf order, which
+    # silently mispairs if traversal order ever differs).
+    s.variables = {"params": serialization.from_state_dict(
+        template["params"], params)}
 
     audio, sr = read_wav(wav_path)
     if sr != cfg.data.sample_rate:
@@ -220,13 +225,25 @@ def run_ssl_pretrain(cfg, tokenizer, synthetic: bool) -> None:
     )
     state = ssl.init_state(cfg.data.seed, next(iter(train_factory())))
     ckpts = CheckpointManager(cfg.train.checkpoint_dir)
-    for epoch in range(1, cfg.train.max_epochs + 1):
-        state = ssl.fit(state, train_factory(), log_every=cfg.train.log_every)
+    # Full-state resume (params + opt_state + dropout key): an interrupted
+    # pretrain continues with intact Adam moments and a fresh-per-step
+    # dropout stream instead of silently restarting the optimizer.
+    def snapshot(s):
+        return {k: jax.device_get(s[k]) for k in ("params", "opt_state", "key")}
+
+    resumed = ckpts.try_resume(template={"state": snapshot(state), "epoch": 0})
+    start_epoch = 1
+    if resumed is not None:
+        start_epoch = int(resumed["epoch"]) + 1
+        print(f"resuming ssl from {ckpts.last} at epoch {start_epoch}")
+        state = dict(resumed["state"])
+    for epoch in range(start_epoch, cfg.train.max_epochs + 1):
+        # Span schedule is a pure function of (seed, epoch) so a resumed run
+        # replays the masks it would have drawn uninterrupted.
+        state = ssl.fit(state, train_factory(), log_every=cfg.train.log_every,
+                        span_rng=np.random.default_rng(cfg.data.seed * 1009 + epoch))
         print(f"[ssl epoch {epoch}] infonce={state['last_loss']:.4f}")
-        save_checkpoint(ckpts.last, {
-            "state": {"params": jax.device_get(state["params"])},
-            "epoch": epoch,
-        })
+        save_checkpoint(ckpts.last, {"state": snapshot(state), "epoch": epoch})
 
 
 def run_single_modality(cfg, tokenizer, family: str, synthetic: bool) -> None:
@@ -352,6 +369,16 @@ def main(argv: list[str] | None = None) -> None:
 
             mesh = make_mesh(model_parallel=cfg.mesh.model_axis)
         print(f"mesh: {mesh}")
+    if multiprocess:
+        # Per-host input scale-out: each process loads only ITS shard of the
+        # global batch; shard_batch assembles the global array from the
+        # process-local rows (jax.make_array_from_process_local_data).
+        from .parallel.multihost import process_local_batch_size
+
+        cfg.train.batch_size = process_local_batch_size(cfg.train.batch_size)
+        cfg.train.eval_batch_size = process_local_batch_size(cfg.train.eval_batch_size)
+        print(f"process {jax.process_index()}: local batch "
+              f"{cfg.train.batch_size} (train) / {cfg.train.eval_batch_size} (eval)")
 
     trainer = MultiSpeakerTrainer(cfg, model, tokenizer, frozen_prefixes=frozen, mesh=mesh)
 

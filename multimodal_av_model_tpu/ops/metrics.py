@@ -43,12 +43,37 @@ def levenshtein(a: Sequence, b: Sequence) -> int:
     return native.levenshtein(enc, enc_b)
 
 
-def _corpus_rate(ref_seqs: list, hyp_seqs: list) -> float:
+def _corpus_counts(ref_seqs: list, hyp_seqs: list) -> tuple[int, int]:
+    """(total edit distance, total reference length) — the additive form of
+    the corpus rate, summable across data shards/processes before dividing."""
     total_dist = sum(levenshtein(r, h) for r, h in zip(ref_seqs, hyp_seqs))
     total_len = sum(len(r) for r in ref_seqs)
+    return total_dist, total_len
+
+
+def rate_from_counts(total_dist: float, total_len: float) -> float:
     if total_len == 0:
         return 0.0 if total_dist == 0 else float("inf")
     return total_dist / total_len
+
+
+def _corpus_rate(ref_seqs: list, hyp_seqs: list) -> float:
+    return rate_from_counts(*_corpus_counts(ref_seqs, hyp_seqs))
+
+
+def wer_counts(references: Sequence[str], hypotheses: Sequence[str]) -> tuple[int, int]:
+    return _corpus_counts([r.split() for r in references],
+                          [h.split() for h in hypotheses])
+
+
+def cer_counts(references: Sequence[str], hypotheses: Sequence[str],
+               remove_spaces: bool = False) -> tuple[int, int]:
+    def norm(s: str) -> str:
+        s = " ".join(s.split())
+        return s.replace(" ", "") if remove_spaces else s
+
+    return _corpus_counts([list(norm(r)) for r in references],
+                          [list(norm(h)) for h in hypotheses])
 
 
 def wer(references: Sequence[str] | str, hypotheses: Sequence[str] | str) -> float:

@@ -55,29 +55,17 @@ def _group_logsumexp(eq, vals):
     return jnp.where(m <= _NEG_INF / 2, _NEG_INF, s)
 
 
-def _prefix_beam_single(log_probs, length, beam_width: int, top_k: int,
-                        blank_id: int, lm=None, lm_weight=0.0,
-                        length_bonus=0.0):
-    """``log_probs: [T, V]`` → ``(prefix [T] (-1 padded), prefix_len, score)``.
+def _make_step(W: int, C: int, K: int, V: int, blank_id: int, length,
+               lm=None, lm_weight=0.0, length_bonus=0.0):
+    """The per-frame prefix-beam recursion over a ``[W, C]`` prefix buffer.
 
-    With ``lm`` (a ``[V+1, V]`` bigram log-prob table, last row = BOS
-    context — text/ngram_lm.py), every candidate that EMITS a token ``c``
-    carries an extra ``lm_weight·log P_lm(c | last)`` + ``length_bonus``
-    (shallow fusion; the bonus counters the LM's short-transcript bias).
-    Stay/repeat candidates add no token and get no bonus, so the cumulative
-    beam score is ``log P_am + α·log P_lm(prefix) + β·|prefix|`` exactly.
+    Shared by the offline decoder (C = T, one scan over the utterance) and
+    the streaming continuation (C = transcript capacity, one scan per chunk
+    starting from carried beam state).  ``length`` masks frames ≥ length to
+    identity.
     """
-    T, V = log_probs.shape
-    W, K = beam_width, min(top_k, V)
     M = W * (K + 1)
-    log_probs = jnp.asarray(log_probs, jnp.float32)
-
-    prefixes0 = jnp.full((W, T), -1, jnp.int32)
-    lens0 = jnp.zeros((W,), jnp.int32)
-    pb0 = jnp.full((W,), _NEG_INF).at[0].set(0.0)   # empty prefix, all-blank
-    pnb0 = jnp.full((W,), _NEG_INF)
-
-    cols = jnp.arange(T, dtype=jnp.int32)
+    cols = jnp.arange(C, dtype=jnp.int32)
 
     def step(carry, inp):
         prefixes, lens, pb, pnb = carry
@@ -106,16 +94,16 @@ def _prefix_beam_single(log_probs, length, beam_width: int, top_k: int,
             ctx = jnp.where(has_last, last, V)                        # BOS = V
             lm_bonus = lm_weight * lm[ctx[:, None], c] + length_bonus
             ext_pnb = jnp.where(is_blank, _NEG_INF, ext_pnb + lm_bonus)
-        at_end = cols[None, :] == lens[:, None]                       # [W, T]
+        at_end = cols[None, :] == lens[:, None]                       # [W, C]
         ext_prefixes = jnp.where(at_end[:, None, :], c[:, :, None],
-                                 prefixes[:, None, :])                # [W, K, T]
-        full = lens >= T                                              # buffer full
+                                 prefixes[:, None, :])                # [W, K, C]
+        full = lens >= C                                              # buffer full
         ext_pnb = jnp.where(full[:, None], _NEG_INF, ext_pnb)
 
         cand_prefixes = jnp.concatenate(
-            [prefixes[:, None, :], ext_prefixes], axis=1).reshape(M, T)
+            [prefixes[:, None, :], ext_prefixes], axis=1).reshape(M, C)
         cand_lens = jnp.concatenate(
-            [lens[:, None], jnp.minimum(lens + 1, T)[:, None].repeat(K, 1)],
+            [lens[:, None], jnp.minimum(lens + 1, C)[:, None].repeat(K, 1)],
             axis=1).reshape(M)
         cand_pb = jnp.concatenate(
             [stay_pb[:, None], jnp.full((W, K), _NEG_INF)], axis=1).reshape(M)
@@ -144,10 +132,82 @@ def _prefix_beam_single(log_probs, length, beam_width: int, top_k: int,
             (prefixes, lens, pb, pnb))
         return out, None
 
+    return step
+
+
+def _prefix_beam_single(log_probs, length, beam_width: int, top_k: int,
+                        blank_id: int, lm=None, lm_weight=0.0,
+                        length_bonus=0.0):
+    """``log_probs: [T, V]`` → ``(prefix [T] (-1 padded), prefix_len, score)``.
+
+    With ``lm`` (a ``[V+1, V]`` bigram log-prob table, last row = BOS
+    context — text/ngram_lm.py), every candidate that EMITS a token ``c``
+    carries an extra ``lm_weight·log P_lm(c | last)`` + ``length_bonus``
+    (shallow fusion; the bonus counters the LM's short-transcript bias).
+    Stay/repeat candidates add no token and get no bonus, so the cumulative
+    beam score is ``log P_am + α·log P_lm(prefix) + β·|prefix|`` exactly.
+    """
+    T, V = log_probs.shape
+    W, K = beam_width, min(top_k, V)
+    log_probs = jnp.asarray(log_probs, jnp.float32)
+
+    state0 = prefix_beam_state_init(W, T)
+    step = _make_step(W, T, K, V, blank_id, length, lm, lm_weight, length_bonus)
     ts = jnp.arange(T, dtype=jnp.int32)
-    (prefixes, lens, pb, pnb), _ = jax.lax.scan(
-        step, (prefixes0, lens0, pb0, pnb0), (log_probs, ts))
+    (prefixes, lens, pb, pnb), _ = jax.lax.scan(step, state0, (log_probs, ts))
     return prefixes[0], lens[0], _logaddexp(pb, pnb)[0]
+
+
+def prefix_beam_state_init(beam_width: int, capacity: int):
+    """Fresh beam state ``(prefixes [W, C], lens, p_b, p_nb)``: one live beam
+    (the empty prefix, all-blank mass 1)."""
+    return (
+        jnp.full((beam_width, capacity), -1, jnp.int32),
+        jnp.zeros((beam_width,), jnp.int32),
+        jnp.full((beam_width,), _NEG_INF).at[0].set(0.0),
+        jnp.full((beam_width,), _NEG_INF),
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("top_k", "blank_id"))
+def prefix_beam_stream_step(
+    state,
+    log_probs: jnp.ndarray,
+    length,
+    top_k: int = 8,
+    blank_id: int = 3,
+    lm: jnp.ndarray | None = None,
+    lm_weight: float = 0.0,
+    length_bonus: float = 0.0,
+):
+    """Continue a prefix beam over one CHUNK of frames (streaming decode).
+
+    ``state`` is ``prefix_beam_state_init(W, C)`` or a previous return; the
+    prefix buffer capacity ``C`` is independent of the chunk length, so an
+    unbounded stream decodes at ONE compiled shape per chunk size.  Feeding
+    chunks ``[lp1; lp2; …]`` is mathematically identical to one offline pass
+    over their concatenation (tests/test_streaming.py) — CTC's per-frame
+    recursion carries all its state in ``(prefixes, p_b, p_nb)``.
+
+    Args:
+      log_probs: ``[T_chunk, V]`` log-softmaxed scores for the new frames.
+      length: valid frame count (≤ T_chunk; rest are identity).
+    Returns the advanced state.
+    """
+    prefixes, lens, pb, pnb = state
+    W, C = prefixes.shape
+    log_probs = jnp.asarray(log_probs, jnp.float32)
+    T, V = log_probs.shape
+    if lm is not None:
+        lm = jnp.asarray(lm, jnp.float32)
+    step = _make_step(W, C, min(top_k, V), V, blank_id,
+                      jnp.asarray(length, jnp.int32), lm, lm_weight,
+                      length_bonus)
+    ts = jnp.arange(T, dtype=jnp.int32)
+    new_state, _ = jax.lax.scan(step, (prefixes, lens, pb, pnb),
+                                (log_probs, ts))
+    return new_state
 
 
 @functools.partial(

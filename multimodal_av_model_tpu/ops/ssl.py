@@ -39,7 +39,8 @@ def make_span_mask(
             idx = rng.choice(length, size=min_masked - n, replace=False)
             starts[b, idx] = True
     mask = np.zeros((batch, length), bool)
-    for offset in range(span):
+    # span may exceed length (very short clips): spans just clip at the end.
+    for offset in range(min(span, length)):
         end = length - offset if offset else length
         mask[:, offset:] |= starts[:, :end]
     return mask

@@ -2,6 +2,8 @@ from .mesh import (
     DATA_AXIS,
     MODEL_AXIS,
     batch_sharding,
+    local_batch_rows,
+    local_data_parallelism,
     make_mesh,
     pad_batch_to_multiple,
     replicated,
@@ -13,6 +15,8 @@ __all__ = [
     "DATA_AXIS",
     "MODEL_AXIS",
     "batch_sharding",
+    "local_batch_rows",
+    "local_data_parallelism",
     "make_mesh",
     "pad_batch_to_multiple",
     "replicated",

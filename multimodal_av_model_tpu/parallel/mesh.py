@@ -69,18 +69,53 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def shard_batch(mesh: Mesh, batch: dict) -> dict:
     """Place every array in the batch dict with its batch axis over ``data``.
 
-    Scalars (e.g. ``num_real``) replicate.
+    Scalars (e.g. ``num_real``) replicate.  Under a multi-process runtime
+    each process passes only ITS slice of the global batch (the per-host
+    loader pattern, ``multihost.process_local_batch_size``) and the global
+    array is assembled from the process-local shards.
     """
     data = batch_sharding(mesh)
     rep = replicated(mesh)
+    multiprocess = any(d.process_index != jax.process_index()
+                       for d in mesh.devices.flat)
 
     def place(x):
         x = np.asarray(x)
         if x.ndim == 0:
+            if multiprocess:
+                return jax.make_array_from_process_local_data(rep, x)
             return jax.device_put(x, rep)
+        if multiprocess:
+            return jax.make_array_from_process_local_data(data, x)
         return jax.device_put(x, data)
 
     return {k: place(v) for k, v in batch.items()}
+
+
+def local_data_parallelism(mesh: Mesh) -> int:
+    """This process's device count along the ``data`` axis — the multiple a
+    process-local batch must pad to before ``shard_batch``."""
+    local = sum(1 for d in mesh.devices.flat
+                if d.process_index == jax.process_index())
+    return max(1, local // mesh.shape.get(MODEL_AXIS, 1))
+
+
+def local_batch_rows(x) -> np.ndarray:
+    """This process's rows of a batch-sharded (leading-axis) array, as numpy.
+
+    Fully-addressable arrays (single process) return all rows.  In a
+    multi-process run a jit output is globally sharded and ``np.asarray``
+    would raise; here each process extracts its addressable row shards
+    (deduplicated — model-axis replication yields one copy per model device)
+    so decode/metrics run on the rows this process fed in."""
+    if not isinstance(x, jax.Array) or x.is_fully_addressable:
+        return np.asarray(x)
+    by_start: dict[int, np.ndarray] = {}
+    for s in x.addressable_shards:
+        start = s.index[0].start or 0
+        if start not in by_start:
+            by_start[start] = np.asarray(s.data)
+    return np.concatenate([by_start[k] for k in sorted(by_start)], axis=0)
 
 
 def pad_batch_to_multiple(batch: dict, multiple: int) -> dict:

@@ -49,10 +49,11 @@ def initialize_distributed(
     values when the env provides them.  Safe to call more than once.
     """
     global _initialized
-    if _initialized or jax.process_count() > 1:
-        _initialized = True
-        return jax.process_count() > 1
-
+    # Read the env/args BEFORE touching any backend-initializing JAX API:
+    # jax.distributed.initialize() must run before the XLA backend comes up,
+    # and even jax.process_count() initializes it.  Idempotency is tracked by
+    # the module flag (and jax's own distributed global state), never by a
+    # backend query.
     coordinator_address = coordinator_address or os.environ.get(
         "JAX_COORDINATOR_ADDRESS")
     if num_processes is None and "JAX_NUM_PROCESSES" in os.environ:
@@ -60,17 +61,26 @@ def initialize_distributed(
     if process_id is None and "JAX_PROCESS_ID" in os.environ:
         process_id = int(os.environ["JAX_PROCESS_ID"])
 
+    if _initialized:
+        return jax.process_count() > 1
+
     if not (coordinator_address and num_processes is not None
             and process_id is not None):
-        return False            # single-process run; nothing to do
+        _initialized = True     # single-process run; nothing to do
+        return False
 
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+    # Someone may have initialized jax.distributed out-of-band (e.g. a test
+    # harness); jax's own state is authoritative and initialize() would raise.
+    from jax._src import distributed as _jax_distributed
+
+    if getattr(_jax_distributed.global_state, "client", None) is None:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
     _initialized = True
-    return True
+    return jax.process_count() > 1
 
 
 def make_hybrid_mesh(model_parallel: int = 1, devices=None) -> Mesh:

@@ -16,7 +16,14 @@ module fixes *unbounded* input:
   so a token spanning two chunks merges exactly as it would in one
   full-utterance pass (the collapse is an exact streaming algorithm; the
   encoder's truncated attention context is the standard streaming-ASR
-  approximation and is documented per-call via ``context_seconds``).
+  approximation and is documented per-call via ``context_seconds``);
+* ``algorithm="prefix_beam"`` (the production decode default) streams the
+  full CTC *prefix* beam — with optional bigram-LM shallow fusion — by
+  carrying the beam state ``(prefixes, p_b, p_nb)`` across chunks
+  (``ops/prefix_beam_search.prefix_beam_stream_step``): feeding chunks is
+  mathematically identical to one offline beam pass over the emitted frames.
+  Text is emitted as soon as it is COMMITTED (shared by every live beam), so
+  streamed output never retracts; ``flush`` emits the best beam's tail.
 
 Frame/sample alignment: one encoder frame per ``hop_length ×
 subsample_factor`` samples (320 at the defaults = 50 Hz).  Chunk and context
@@ -64,6 +71,11 @@ class StreamingAudioTranscriber:
     context_seconds: float = 8.0
     dtype: Any = None
     forward_fn: Callable | None = None
+    # Decode algorithm: None → config.decode.algorithm.  "prefix_beam"
+    # streams the beam (carried state, committed-token emission); anything
+    # else falls back to exact greedy collapse.
+    algorithm: str | None = None
+    beam_capacity: int = 512            # transcript tokens per stream segment
 
     def __post_init__(self):
         fe = self.config.model.frontend
@@ -73,6 +85,14 @@ class StreamingAudioTranscriber:
         self._chunk = _snap(int(self.chunk_seconds * sr), self._samples_per_frame)
         self._ctx = _snap(int(self.context_seconds * sr), self._samples_per_frame)
         self._window = self._ctx + self._chunk
+        if self.algorithm is None:
+            self.algorithm = self.config.decode.algorithm
+        self._beam = self.algorithm == "prefix_beam"
+        self._lm = None
+        if self._beam and self.config.decode.lm_path:
+            from .infer import _fusion_lm
+
+            self._lm = _fusion_lm(self.config)
 
         if self.forward_fn is None:
             model = AudioOnlyCTC(self.config.model,
@@ -95,6 +115,8 @@ class StreamingAudioTranscriber:
         self._context = np.zeros((0,), np.float32)  # already-emitted tail
         self._prev_raw = self.config.model.decoder.blank_id
         self._ids: list[int] = []
+        self._beam_state = None                     # lazily initialized
+        self._committed = 0                         # beam tokens already emitted
 
     @property
     def window_samples(self) -> int:
@@ -124,6 +146,11 @@ class StreamingAudioTranscriber:
         if n:
             chunk = np.pad(self._buffer, (0, self._chunk - n))
             emitted.extend(self._decode_window(chunk, n))
+        if self._beam and self._beam_state is not None:
+            # Emit the best beam's uncommitted tail.
+            prefixes, lens, pb, pnb = (np.asarray(a) for a in self._beam_state)
+            best = prefixes[0, self._committed : lens[0]]
+            emitted.extend(int(t) for t in best)
         text = self._emit(emitted)
         self.reset()
         return text
@@ -146,24 +173,84 @@ class StreamingAudioTranscriber:
         mask[0, self._ctx + valid:] = False
 
         log_probs = self._forward(self.variables, window[None], jnp.asarray(mask))
-        raw = np.asarray(jnp.argmax(log_probs[0], axis=-1))
 
         spf = self._samples_per_frame
         start = self._ctx // spf                       # first NEW frame
         end = (self._ctx + valid + spf - 1) // spf     # past-the-end frame
         blank = self.config.model.decoder.blank_id
-        out: list[int] = []
-        prev = self._prev_raw
-        for tok in raw[start:end]:
-            tok = int(tok)
-            if tok != prev and tok != blank:
-                out.append(tok)
-            prev = tok
-        self._prev_raw = prev
+
+        if self._beam:
+            out = self._beam_advance(log_probs[0], start, end, blank)
+        else:
+            raw = np.asarray(jnp.argmax(log_probs[0], axis=-1))
+            out = []
+            prev = self._prev_raw
+            for tok in raw[start:end]:
+                tok = int(tok)
+                if tok != prev and tok != blank:
+                    out.append(tok)
+                prev = tok
+            self._prev_raw = prev
 
         # Slide the context window: keep the last ctx samples of real audio.
         tail = np.concatenate([ctx, chunk[:valid]])
         self._context = tail[-self._ctx:] if self._ctx else tail[:0]
+        return out
+
+    def _beam_advance(self, log_probs, start: int, end: int,
+                      blank: int) -> list[int]:
+        """Advance the carried prefix beam over the NEW frames and return the
+        newly COMMITTED tokens (prefix shared by every live beam — stream
+        output never retracts; the contested tail emits at ``flush``)."""
+        from .ops.prefix_beam_search import (
+            _NEG_INF,
+            prefix_beam_state_init,
+            prefix_beam_stream_step,
+        )
+
+        dcfg = self.config.decode
+        n_frames = self._chunk // self._samples_per_frame  # static chunk shape
+        if self._beam_state is None:
+            self._beam_state = prefix_beam_state_init(dcfg.beam_width,
+                                                      self.beam_capacity)
+        # Static [n_frames, V] slice: pad rows past `length` are identity.
+        lp_new = jax.lax.dynamic_slice_in_dim(log_probs, start, n_frames, 0)
+        self._beam_state = prefix_beam_stream_step(
+            self._beam_state, lp_new, end - start,
+            top_k=dcfg.prefix_top_k, blank_id=blank,
+            lm=self._lm,
+            lm_weight=dcfg.lm_weight if self._lm is not None else 0.0,
+            length_bonus=dcfg.length_bonus if self._lm is not None else 0.0)
+
+        prefixes, lens, pb, pnb = (np.asarray(a) for a in self._beam_state)
+        total = np.logaddexp(np.maximum(pb, _NEG_INF), np.maximum(pnb, _NEG_INF))
+        live = total > _NEG_INF / 2
+        live[0] = True                               # best beam always counts
+        # Committed = longest common prefix of all live beams.
+        commit = int(lens[live].min())
+        top = prefixes[0]
+        for i in np.where(live)[0]:
+            if commit == 0:
+                break
+            agree = prefixes[i, :commit] == top[:commit]
+            commit = int(np.argmin(agree)) if not agree.all() else commit
+        out = [int(t) for t in top[self._committed : commit]]
+        self._committed = commit
+
+        # Capacity management: shift committed tokens out of the buffer when
+        # the next chunk could overflow it (committed tokens are common to
+        # every live beam, so the shift preserves beam identity).
+        W, C = prefixes.shape
+        if self._committed and int(lens.max()) > C - 2 * n_frames:
+            k = self._committed
+            shifted = np.full_like(prefixes, -1)
+            shifted[:, : C - k] = prefixes[:, k:]
+            self._beam_state = (
+                jnp.asarray(shifted),
+                jnp.asarray(np.maximum(lens - k, 0)),
+                jnp.asarray(pb), jnp.asarray(pnb),
+            )
+            self._committed = 0
         return out
 
     def _emit(self, ids: list[int]) -> str:

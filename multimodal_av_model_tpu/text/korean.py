@@ -74,11 +74,19 @@ def text_to_jamo(text: str) -> list[str]:
 def jamo_error_rate(references, hypotheses) -> float:
     """Jamo-level CER — the finest-grained Korean error metric: a single
     vowel mistake costs 1/3 of a syllable instead of a whole character."""
-    from ..ops.metrics import _corpus_rate
+    from ..ops.metrics import rate_from_counts
+
+    return rate_from_counts(*jamo_counts(references, hypotheses))
+
+
+def jamo_counts(references, hypotheses) -> tuple[int, int]:
+    """(edit distance, reference length) at the jamo level — summable across
+    data shards before dividing (multi-host eval aggregation)."""
+    from ..ops.metrics import _corpus_counts
 
     if isinstance(references, str):
         references, hypotheses = [references], [hypotheses]
-    return _corpus_rate(
+    return _corpus_counts(
         [text_to_jamo(" ".join(r.split())) for r in references],
         [text_to_jamo(" ".join(h.split())) for h in hypotheses],
     )

@@ -88,6 +88,13 @@ def average_checkpoints(paths: list[str]) -> dict:
     checkpoint's payload with the averaged leaves swapped in — optimizer
     state and metadata stay the first file's (averaging them is
     meaningless).  Use for serving/eval, not for resuming training.
+
+    Standard model-soup caveat: the checkpoints must come from ONE training
+    trajectory (e.g. the last-k epochs of a run).  Averaging across
+    independent runs lands between unrelated loss basins, and for
+    ``norm="batch"`` the averaged running *variances* are only approximate
+    (variances don't combine linearly); if soup quality matters there,
+    recompute batch statistics with a few forward passes after averaging.
     """
     if not paths:
         raise ValueError("average_checkpoints needs at least one path")
@@ -129,6 +136,7 @@ class CheckpointManager:
         self._best_path = os.path.join(directory, "best.json")
         self._best_wer = float("inf")
         self._best_loss = float("inf")
+        self._no_improve = 0
         if os.path.isfile(self._best_path):
             import json
 
@@ -137,6 +145,7 @@ class CheckpointManager:
                     best = json.load(f)
                 self._best_wer = float(best.get("best_wer", float("inf")))
                 self._best_loss = float(best.get("best_loss", float("inf")))
+                self._no_improve = int(best.get("no_improve", 0))
             except (ValueError, OSError):
                 pass  # unreadable sidecar: fall back to fresh bests
 
@@ -145,8 +154,19 @@ class CheckpointManager:
 
         tmp = self._best_path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"best_wer": self._best_wer, "best_loss": self._best_loss}, f)
+            json.dump({"best_wer": self._best_wer, "best_loss": self._best_loss,
+                       "no_improve": self._no_improve}, f)
         os.replace(tmp, self._best_path)
+
+    def early_stop_state(self) -> tuple[float, int]:
+        """(best eval loss, epochs since improvement) as persisted in the
+        sidecar — lets a resumed ``fit`` continue its patience count
+        (reference main.py:142,193-200 loses this state on restart)."""
+        return self._best_loss, self._no_improve
+
+    def set_no_improve(self, n: int) -> None:
+        self._no_improve = int(n)
+        self._save_best()
 
     def on_epoch_end(self, tree: Any, eval_loss: float, eval_wer: float) -> dict:
         save_checkpoint(self.last, tree)

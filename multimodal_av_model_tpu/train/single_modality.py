@@ -63,7 +63,17 @@ class SingleModalityTrainer:
                                       train=False, **kwargs)
             new_stats = batch_stats
         blank = self.config.model.decoder.blank_id
-        loss = ctc_loss(lp, batch["labels"], il, batch["label_lengths"], blank)
+        valid = batch.get("valid")
+        if valid is None:
+            loss = ctc_loss(lp, batch["labels"], il, batch["label_lengths"], blank)
+        else:
+            # Flush batches pad to full size with duplicated rows at valid=0;
+            # weighting makes a flush batch's loss identical to the unpadded
+            # batch (same discipline as MultiSpeakerTrainer._losses).
+            per = ctc_loss(lp, batch["labels"], il, batch["label_lengths"],
+                           blank, reduction="none")
+            per = per / jnp.maximum(batch["label_lengths"], 1).astype(jnp.float32)
+            loss = (per * valid).sum() / jnp.maximum(valid.sum(), 1.0)
         return loss, (lp, il, new_stats)
 
     @property
@@ -104,9 +114,18 @@ class SingleModalityTrainer:
         total, n = 0.0, 0
         blank = self.config.model.decoder.blank_id
         for batch in batches:
+            num_real = int(batch.get("num_real", batch["inputs"].shape[0]))
             lp, il = self.eval_forward(state["params"], state["batch_stats"],
                                        batch["inputs"], batch["meta"])
-            loss = ctc_loss(lp, batch["labels"], il, batch["label_lengths"], blank)
+            valid = batch.get("valid")
+            if valid is None:
+                loss = ctc_loss(lp, batch["labels"], il, batch["label_lengths"], blank)
+            else:
+                per = ctc_loss(lp, batch["labels"], il, batch["label_lengths"],
+                               blank, reduction="none")
+                per = per / np.maximum(np.asarray(batch["label_lengths"]), 1)
+                loss = (np.asarray(per) * np.asarray(valid)).sum() / max(
+                    float(np.asarray(valid).sum()), 1.0)
             total += float(loss)
             n += 1
             if use_beam:
@@ -117,7 +136,7 @@ class SingleModalityTrainer:
             ids, lens = np.asarray(ids), np.asarray(lens)
             labels = np.asarray(batch["labels"])
             llen = np.asarray(batch["label_lengths"])
-            for b in range(ids.shape[0]):
+            for b in range(num_real):
                 hyps.append(self.tokenizer.decode(ids[b, : lens[b]].tolist()))
                 refs.append(self.tokenizer.decode(labels[b, : llen[b]].tolist()))
         return total / max(n, 1), wer(refs, hyps), cer(refs, hyps)
@@ -191,11 +210,18 @@ def make_visual_trainer(cfg: Config, tokenizer, dtype=None) -> SingleModalityTra
 def utterance_batches(entries, tokenizer, family: str, batch_size: int,
                       sample_rate: int = 16000, max_samples: int = 160000,
                       max_frames: int = 448, lip_size: int = 96,
-                      max_label_len: int = 128, drop_last: bool = True):
+                      max_label_len: int = 128, drop_last: bool = False):
     """Real-data single-utterance batches from manifest entries.
 
     ``family``: 'audio' (wav segment → waveform + sample mask) or 'visual'
     (lip .npy → [T,1,96,96] frames + frame count).
+
+    Every yielded batch has the FULL static shape: a final partial batch is
+    padded to ``batch_size`` by repeating its last row with ``valid``-weight 0
+    (``num_real`` records the true count) — no new XLA compile for a ragged
+    leftover, and the weighted loss matches the unpadded batch exactly.  Set
+    ``drop_last=True`` to drop the leftover instead (reference
+    DataLoader-default semantics).
     """
     from ..data.audio_io import WavCache
     from ..data.pipeline import preprocess_lip_clip_host
@@ -204,29 +230,34 @@ def utterance_batches(entries, tokenizer, family: str, batch_size: int,
     buf = []
 
     def flush():
-        B = len(buf)
+        num_real = len(buf)
+        rows = buf + [buf[-1]] * (batch_size - num_real)
+        B = batch_size
         labels = np.zeros((B, max_label_len), np.int32)
         llen = np.zeros((B,), np.int32)
-        for i, (x, lab) in enumerate(buf):
+        for i, (x, lab) in enumerate(rows):
             lab = lab[:max_label_len]
             labels[i, : len(lab)] = lab
             llen[i] = len(lab)
         if family == "audio":
             inputs = np.zeros((B, max_samples), np.float32)
             meta = np.zeros((B, max_samples), bool)
-            for i, (x, _) in enumerate(buf):
+            for i, (x, _) in enumerate(rows):
                 n = min(len(x), max_samples)
                 inputs[i, :n] = x[:n]
                 meta[i, :n] = True
         else:
             inputs = np.zeros((B, max_frames, 1, lip_size, lip_size), np.float32)
             meta = np.zeros((B,), np.int32)
-            for i, (x, _) in enumerate(buf):
+            for i, (x, _) in enumerate(rows):
                 n = min(x.shape[0], max_frames)
                 inputs[i, :n] = x[:n]
                 meta[i] = n
+        valid = np.zeros((B,), np.float32)
+        valid[:num_real] = 1.0
         return {"inputs": inputs, "meta": meta,
-                "labels": labels, "label_lengths": llen}
+                "labels": labels, "label_lengths": llen,
+                "valid": valid, "num_real": np.int32(num_real)}
 
     for entry in entries:
         label = np.asarray(

@@ -82,46 +82,57 @@ class MaskedAudioPretrainer:
         audio = np.asarray(batch["audio"])
         spans = np.zeros((audio.shape[0], self.enc_frames(audio.shape[1])), bool)
         spans[:, :2] = True  # arbitrary non-empty mask for init tracing
+        init_key, state_key = jax.random.split(jax.random.PRNGKey(rng))
         variables = jax.jit(self.model.init)(
-            jax.random.PRNGKey(rng), audio, np.asarray(batch["mask1"]) != 3, spans
+            init_key, audio, np.asarray(batch["mask1"]) != 3, spans
         )
         params = variables["params"]
+        # "key" (the jax dropout key) is part of the state so it checkpoints
+        # and advances per step — every step sees a DIFFERENT dropout mask.
         return {"params": params, "opt_state": self._tx.init(params),
-                "rng": np.random.default_rng(rng)}
+                "key": state_key}
 
     @property
     def train_step(self):
         if self._step is None:
-            def step(params, opt_state, audio, sample_mask, spans):
+            def step(params, opt_state, key, audio, sample_mask, spans):
+                key, drop_key = jax.random.split(key)
+
                 def loss_fn(p):
                     preds, targets, frame_valid = self.model.apply(
                         {"params": p}, audio, sample_mask, spans, train=True,
-                        rngs={"dropout": jax.random.PRNGKey(0)},
+                        rngs={"dropout": drop_key},
                     )
                     return masked_infonce_loss(preds, targets, spans,
                                                frame_valid, self.temperature)
 
                 loss, grads = jax.value_and_grad(loss_fn)(params)
                 updates, opt_state = self._tx.update(grads, opt_state)
-                return optax.apply_updates(params, updates), opt_state, loss
+                return optax.apply_updates(params, updates), opt_state, key, loss
 
-            self._step = jax.jit(step, donate_argnums=(0, 1))
+            self._step = jax.jit(step, donate_argnums=(0, 1, 2))
         return self._step
 
     def fit(self, state: dict, batches: Iterable[dict], log_every: int = 100,
-            log_fn=print):
-        params, opt_state, rng = state["params"], state["opt_state"], state["rng"]
+            log_fn=print, span_rng: np.random.Generator | None = None):
+        """One pass over ``batches``.  ``span_rng`` draws the mask spans —
+        pass a generator seeded per epoch so a resumed run replays the same
+        span schedule it would have seen uninterrupted."""
+        params, opt_state = state["params"], state["opt_state"]
+        key = state["key"]
+        if span_rng is None:
+            span_rng = np.random.default_rng(0)
         loss = None
         for i, batch in enumerate(batches):
             audio = np.asarray(batch["audio"])
             sample_mask = np.asarray(batch["mask1"]) != 3
             spans = make_span_mask(
                 audio.shape[0], self.enc_frames(audio.shape[1]),
-                self.mask_prob, self.span, rng,
+                self.mask_prob, self.span, span_rng,
             )
-            params, opt_state, loss = self.train_step(
-                params, opt_state, audio, sample_mask, spans)
+            params, opt_state, key, loss = self.train_step(
+                params, opt_state, key, audio, sample_mask, spans)
             if i % log_every == 0:
                 log_fn(f"[ssl {i}] infonce={float(loss):.4f}")
-        return {"params": params, "opt_state": opt_state, "rng": rng,
+        return {"params": params, "opt_state": opt_state, "key": key,
                 "last_loss": float(loss) if loss is not None else None}

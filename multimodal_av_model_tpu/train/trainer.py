@@ -309,13 +309,19 @@ class MultiSpeakerTrainer:
 
     def _place(self, batch: dict) -> dict:
         if self.mesh is not None:
-            from ..parallel import DATA_AXIS, pad_batch_to_multiple, shard_batch
+            from ..parallel import (
+                local_data_parallelism,
+                pad_batch_to_multiple,
+                shard_batch,
+            )
 
             # The data axis needs a divisible batch; padded rows get valid=0
-            # so they contribute nothing to the loss.
+            # so they contribute nothing to the loss.  Multi-process runs
+            # feed process-LOCAL rows, so the multiple is this process's
+            # data-axis share, not the global axis size.
             batch = pad_batch_to_multiple(
                 {k: np.asarray(v) for k, v in batch.items()},
-                self.mesh.shape[DATA_AXIS],
+                local_data_parallelism(self.mesh),
             )
             batch = {k: v for k, v in batch.items() if k != "num_real"}
             return shard_batch(self.mesh, batch)
@@ -355,6 +361,8 @@ class MultiSpeakerTrainer:
         fusion included when ``decode.lm_path`` is set — see infer.py)."""
         dcfg = self.config.decode
         blank = self.config.model.decoder.blank_id
+        if dcfg.algorithm == "greedy":
+            return ctc_greedy_decode(log_probs, lengths, blank)
         if dcfg.algorithm == "prefix_beam":
             from ..infer import _fusion_lm
             from ..ops.prefix_beam_search import prefix_beam_search_decode
@@ -389,8 +397,12 @@ class MultiSpeakerTrainer:
             else:
                 ids1, len1 = out["greedy1"], out["greedy1_len"]
                 ids2, len2 = out["greedy2"], out["greedy2_len"]
-            ids1, len1 = np.asarray(ids1), np.asarray(len1)
-            ids2, len2 = np.asarray(ids2), np.asarray(len2)
+            # Multi-process: jit outputs are globally sharded; each process
+            # decodes the rows it fed in (metrics aggregate below).
+            from ..parallel import local_batch_rows
+
+            ids1, len1 = local_batch_rows(ids1), local_batch_rows(len1)
+            ids2, len2 = local_batch_rows(ids2), local_batch_rows(len2)
             t1, l1 = np.asarray(batch["text1"]), np.asarray(batch["text1_lengths"])
             t2, l2 = np.asarray(batch["text2"]), np.asarray(batch["text2_lengths"])
             for b in range(num_real):
@@ -398,12 +410,27 @@ class MultiSpeakerTrainer:
                 refs1.append(self.tokenizer.decode(t1[b, : l1[b]].tolist()))
                 hyps2.append(self.tokenizer.decode(ids2[b, : len2[b]].tolist()))
                 refs2.append(self.tokenizer.decode(t2[b, : l2[b]].tolist()))
-        from ..text.korean import jamo_error_rate
+        from ..ops.metrics import cer_counts, rate_from_counts, wer_counts
+        from ..text.korean import jamo_counts
 
-        wer1, wer2 = wer(refs1, hyps1), wer(refs2, hyps2)
-        cer_all = cer(refs1 + refs2, hyps1 + hyps2)
-        jer_all = jamo_error_rate(refs1 + refs2, hyps1 + hyps2)
-        avg_loss = total / max(n, 1)
+        # Additive error counts: exact corpus rates under multi-host eval
+        # (each process scored its local rows; counts sum across processes).
+        counts = np.array([
+            *wer_counts(refs1, hyps1), *wer_counts(refs2, hyps2),
+            *cer_counts(refs1 + refs2, hyps1 + hyps2),
+            *jamo_counts(refs1 + refs2, hyps1 + hyps2),
+            total, n,
+        ], np.float64)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            counts = np.asarray(multihost_utils.process_allgather(counts)
+                                ).sum(axis=0)
+        wer1 = rate_from_counts(counts[0], counts[1])
+        wer2 = rate_from_counts(counts[2], counts[3])
+        cer_all = rate_from_counts(counts[4], counts[5])
+        jer_all = rate_from_counts(counts[6], counts[7])
+        avg_loss = counts[8] / max(counts[9], 1)
         avg_wer = (wer1 + wer2) / 2
         return avg_loss, avg_wer, cer_all, {"wer1": wer1, "wer2": wer2, "jer": jer_all}
 
@@ -430,8 +457,12 @@ class MultiSpeakerTrainer:
             resume=resume,
         )
         tb = TensorBoardLogger(tcfg.tensorboard_dir)
-        no_improve = 0
-        best_loss = float("inf")
+        # Early-stop state survives resume: a resumed run continues the
+        # patience count from the best.json sidecar instead of restarting it
+        # (otherwise a run that stalls right before its patience limit could
+        # be resumed forever without ever stopping).
+        best_loss, no_improve = (
+            ckpts.early_stop_state() if resume else (float("inf"), 0))
         for epoch in range(start_epoch, tcfg.max_epochs + 1):
             state, train_loss, throughput = self.train_epoch(
                 train_factory(), log_fn=log_fn, state=state
@@ -461,9 +492,10 @@ class MultiSpeakerTrainer:
                 no_improve = 0
             else:
                 no_improve += 1
-                if no_improve >= tcfg.early_stop_patience:
-                    log_fn(f"early stop after {no_improve} epochs without improvement")
-                    break
+            ckpts.set_no_improve(no_improve)
+            if no_improve >= tcfg.early_stop_patience:
+                log_fn(f"early stop after {no_improve} epochs without improvement")
+                break
         train_log.close()
         eval_log.close()
         tb.close()

@@ -80,7 +80,7 @@ def test_streaming_matches_offline_collapse(block):
     cfg = tiny_config()
     s = StreamingAudioTranscriber(
         cfg, IdTokenizer(), {}, chunk_seconds=0.2, context_seconds=0.4,
-        forward_fn=local_forward,
+        forward_fn=local_forward, algorithm="greedy",
     )
     signal = piecewise_signal(rng, n_frames=40)
 
@@ -98,7 +98,7 @@ def test_streaming_boundary_repeat_collapses():
     cfg = tiny_config()
     s = StreamingAudioTranscriber(
         cfg, IdTokenizer(), {}, chunk_seconds=0.2, context_seconds=0.2,
-        forward_fn=local_forward,
+        forward_fn=local_forward, algorithm="greedy",
     )
     # chunk = 0.2 s = 3200 samples = 10 frames; one token spans frames 5..15.
     signal = np.repeat(
@@ -112,7 +112,7 @@ def test_streaming_text_accumulates_and_resets():
     cfg = tiny_config()
     s = StreamingAudioTranscriber(
         cfg, IdTokenizer(), {}, chunk_seconds=0.2, context_seconds=0.2,
-        forward_fn=local_forward,
+        forward_fn=local_forward, algorithm="greedy",
     )
     signal = piecewise_signal(np.random.default_rng(0), n_frames=25)
     s.feed(signal)
@@ -186,3 +186,108 @@ def test_streaming_real_model_smoke():
     audio = rng.standard_normal(int(0.55 * 16000)).astype(np.float32) * 0.1
     out = s.feed(audio) + s.flush()
     assert isinstance(out, str)
+
+
+# -- streaming prefix beam (round 3) ------------------------------------------
+
+def test_prefix_beam_stream_step_matches_offline():
+    """Op-level: feeding chunks through prefix_beam_stream_step equals one
+    offline prefix_beam_search_decode over the concatenated frames."""
+    from multimodal_av_model_tpu.ops.prefix_beam_search import (
+        prefix_beam_search_decode,
+        prefix_beam_state_init,
+        prefix_beam_stream_step,
+    )
+
+    rng = np.random.default_rng(0)
+    T, V, W, K, blank = 24, 8, 4, 6, 3
+    lp = jax.nn.log_softmax(
+        jnp.asarray(rng.standard_normal((T, V)) * 2, jnp.float32), axis=-1)
+
+    want_ids, want_len, want_score = prefix_beam_search_decode(
+        lp[None], np.array([T]), beam_width=W, top_k=K, blank_id=blank)
+
+    for chunks in ([8, 8, 8], [5, 11, 8], [1] * 24, [24]):
+        state = prefix_beam_state_init(W, T)
+        pos = 0
+        for c in chunks:
+            state = prefix_beam_stream_step(
+                state, lp[pos : pos + c], c, top_k=K, blank_id=blank)
+            pos += c
+        prefixes, lens, pb, pnb = (np.asarray(a) for a in state)
+        n = int(lens[0])
+        assert n == int(want_len[0])
+        np.testing.assert_array_equal(prefixes[0, :n],
+                                      np.asarray(want_ids)[0, :n])
+
+
+def test_prefix_beam_stream_step_respects_length_mask():
+    """Frames past `length` are identity — a padded chunk changes nothing."""
+    from multimodal_av_model_tpu.ops.prefix_beam_search import (
+        prefix_beam_state_init,
+        prefix_beam_stream_step,
+    )
+
+    rng = np.random.default_rng(1)
+    V, W = 8, 4
+    lp = jax.nn.log_softmax(
+        jnp.asarray(rng.standard_normal((10, V)) * 2, jnp.float32), axis=-1)
+    state = prefix_beam_state_init(W, 32)
+    full = prefix_beam_stream_step(state, lp[:6], 6, top_k=6, blank_id=3)
+    padded = prefix_beam_stream_step(state, lp, 6, top_k=6, blank_id=3)
+    for a, b in zip(full, padded):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_streaming_prefix_beam_matches_offline_beam():
+    """End-to-end: the streamed prefix-beam transcript equals the offline
+    prefix beam over the full utterance's frame-local log-probs, for any
+    feed blocking (committed emission + flush tail)."""
+    from multimodal_av_model_tpu.ops.prefix_beam_search import (
+        prefix_beam_search_decode,
+    )
+
+    cfg = tiny_config()
+    rng = np.random.default_rng(7)
+    signal = piecewise_signal(rng, n_frames=40)
+
+    # Offline reference: the same frame-local forward over all frames.
+    lp_full = np.asarray(local_forward(None, signal[None], None))[0]
+    ids, out_len, _ = prefix_beam_search_decode(
+        lp_full[None], np.array([lp_full.shape[0]]),
+        beam_width=cfg.decode.beam_width, top_k=cfg.decode.prefix_top_k,
+        blank_id=3)
+    want = IdTokenizer().decode(
+        [int(t) for t in np.asarray(ids)[0, : int(out_len[0])]])
+
+    for block in (1000, 3200, 10_000):
+        s = StreamingAudioTranscriber(
+            cfg, IdTokenizer(), {}, chunk_seconds=0.2, context_seconds=0.4,
+            forward_fn=local_forward, algorithm="prefix_beam",
+        )
+        got = ""
+        for i in range(0, len(signal), block):
+            got += s.feed(signal[i : i + block])
+        got += s.flush()
+        assert got == want, (block, got, want)
+
+
+def test_streaming_prefix_beam_capacity_shift():
+    """A long stream overflows the small prefix buffer: committed tokens
+    shift out and the transcript stays correct."""
+    cfg = tiny_config()
+    rng = np.random.default_rng(3)
+    signal = piecewise_signal(rng, n_frames=120)
+
+    s_small = StreamingAudioTranscriber(
+        cfg, IdTokenizer(), {}, chunk_seconds=0.2, context_seconds=0.4,
+        forward_fn=local_forward, algorithm="prefix_beam", beam_capacity=24,
+    )
+    s_big = StreamingAudioTranscriber(
+        cfg, IdTokenizer(), {}, chunk_seconds=0.2, context_seconds=0.4,
+        forward_fn=local_forward, algorithm="prefix_beam", beam_capacity=512,
+    )
+    got_small = s_small.feed(signal) + s_small.flush()
+    got_big = s_big.feed(signal) + s_big.flush()
+    assert got_small == got_big
+    assert len(got_big) > 10    # non-trivial transcript
