@@ -2,15 +2,14 @@
 """Headline benchmark: flagship AV-CTC training throughput on one TPU chip.
 
 Measures utterances/sec of the full two-speaker train step (visual ResNet-18
-x2, log-mel Conformer x2 — fused Pallas frontend on TPU by default, fusion,
-contrastive, CTC, Adam update) on 4-second utterances, at the reference's
-production batch 8 (reference main.py:88), at batch 16 (the single-chip
-sweet spot: beyond it XLA's auto-remat starts recomputing the visual trunk
-under memory pressure — ~30% of the b32 step is remat recompute, measured
-from the profiler trace), and at batch 32, with an MFU estimate from the
-compiled step's FLOP count.  Baseline: measured reference
-CPU throughput (benchmarks/reference_cpu.json, the reference's own torch
-modules on the same shapes).
+x2, log-mel Conformer — encoded ONCE per mixture and shared across speakers,
+round 3 — fused Pallas frontend on TPU by default, fusion, contrastive, CTC,
+Adam update) on 4-second utterances, at the reference's production batch 8
+(reference main.py:88) and at the round-3 frontier point batch 32 with
+frontend-only visual remat, with an MFU estimate from the compiled step's
+FLOP count.  Baseline: measured reference CPU throughput
+(benchmarks/reference_cpu.json, the reference's own torch modules on the
+same shapes).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "utt/s/chip", "vs_baseline": N, ...}
@@ -25,14 +24,16 @@ import numpy as np
 VIDEO_FRAMES = 120          # 4 s at 30 fps
 SAMPLES = VIDEO_FRAMES * 534
 LABEL_LEN = 20
-BATCHES = (8, 16)       # b32 documented in PARITY.md: 82.6 utt/s, MFU 0.28 —
-                        # slower than b16 (XLA auto-remat under memory
-                        # pressure); dropped from the sweep to bound bench
-                        # wall-time (each batch is a full ~8 min compile)
+# (batch, visual.remat) points: b16 at default remat, plus b32 with
+# frontend-only remat — the round-3 frontier after the shared audio pass
+# shrank the step (benchmarks/step_variants.json): 103.7 @ b16 none,
+# 105.2 @ b24, 109.1 @ b32 frontend (MFU 0.30).  b8 kept as the
+# reference-batch row.
+BATCHES = ((8, "none"), (32, "frontend"))
 FROZEN_BATCH = 32       # no visual backward → no memory pressure; bigger is
                         # better in the frozen regime
 WARMUP = 2
-STEPS = {8: 30, 16: 20, 32: 15}
+STEPS = {8: 30, 16: 20, 24: 15, 32: 15, 48: 10}
 
 # bf16 peak of one TPU v5e (v5litepod) chip.  NOTE: the calibrated *achieved*
 # ceiling on this tunneled chip is ~93 TFLOP/s (chained 4096^3 bf16 matmuls),
@@ -94,18 +95,19 @@ def main() -> None:
 
     cfg = Config()
     cfg.model.decoder.vocab_size = tok.vocab_size
-    cfg.model.visual.norm = "group"      # stateless norm (batch-size robust)
+    # Round 3: bench runs the SHIPPED defaults — BatchNorm trunk (measured
+    # FASTER than the group-norm variant: 103.7 vs 101.4 utt/s @ b16) and
+    # shared_audio_pass=True (the mixture is encoded once, not twice;
+    # benchmarks/step_variants.json).
     cfg.model.dtype = "bfloat16"
     # frontend.use_pallas stays at auto: fused Pallas log-mel on TPU.
-
-    model = MultiSpeakerAVModel(cfg.model, dtype=jax.numpy.bfloat16)
-    trainer = MultiSpeakerTrainer(cfg, model, tok)
 
     rng = np.random.default_rng(0)
     device_kind = jax.devices()[0].device_kind
     peak = PEAK_FLOPS.get(device_kind)
 
     def measure(trainer, batch_size):
+        # (trainer carries its own cfg; see variants loop below)
         batch = make_batch(rng, tok, batch_size)
         state = trainer.init_state(0, batch)
         placed = {k: jax.device_put(v) for k, v in batch.items()}
@@ -136,17 +138,28 @@ def main() -> None:
             "loss": round(final_loss, 4),
         }
 
-    results = {b: measure(trainer, b) for b in BATCHES}
+    def trainer_for(remat, frozen=False):
+        import copy
+
+        c = copy.deepcopy(cfg)
+        c.model.visual.remat = remat
+        m = MultiSpeakerAVModel(c.model, dtype=jax.numpy.bfloat16)
+        return MultiSpeakerTrainer(
+            c, m, tok,
+            frozen_prefixes=("visual_encoder",) if frozen else ())
+
+    results = {b: measure(trainer_for(remat), b) for b, remat in BATCHES}
+    for (b, remat) in BATCHES:
+        results[b]["visual_remat"] = remat
 
     # The reference's own production regime freezes the pretrained visual
     # trunk (reference main.py:100-103); with the trunk's gradient cut XLA
     # drops its backward (~2/3 of the visual FLOPs).  Reported separately —
     # the headline stays FULL training, like-for-like with the CPU baseline.
-    frozen_trainer = MultiSpeakerTrainer(cfg, model, tok,
-                                         frozen_prefixes=("visual_encoder",))
-    frozen = measure(frozen_trainer, FROZEN_BATCH)
+    frozen = measure(trainer_for("none", frozen=True), FROZEN_BATCH)
 
-    best_bs = max(BATCHES, key=lambda b: results[b]["utt_per_sec"])
+    best_bs = max((b for b, _ in BATCHES),
+                  key=lambda b: results[b]["utt_per_sec"])
     utt_per_sec = results[best_bs]["utt_per_sec"]
     baseline = load_baseline()
     vs = utt_per_sec / baseline if baseline == baseline else None

@@ -1,10 +1,13 @@
 #!/usr/bin/env python
 """Decoder quality comparison: greedy vs reference path beam vs CTC prefix beam.
 
-Trains ONE small AV model on structured synthetic pairs (data/structured.py)
-to a mid-training operating point — where decoder differences matter; a
-fully-converged model makes every decoder look the same — then evaluates the
-SAME checkpoint on held-out pairs with each decode algorithm:
+Trains a small AV model PER SEED on structured pairs whose transcripts are
+REAL Korean sentences (the 517 bundled AI-Hub transcripts rendered as
+two-tone chords, data/structured.RealTextStructuredSource — real 800-way
+char distribution) to a mid-training operating point — where decoder
+differences matter; a fully-converged model makes every decoder look the
+same — then evaluates the SAME checkpoint on held-out pairs with each
+decode algorithm:
 
   greedy          ops/ctc.py:ctc_greedy_decode (argmax collapse)
   reference_beam  ops/beam_search.py (the reference's decoder: beam over
@@ -12,8 +15,9 @@ SAME checkpoint on held-out pairs with each decode algorithm:
   prefix_beam     ops/prefix_beam_search.py (true CTC prefix search — sums
                   alignment mass per transcript, Hannun 2014)
 
-Writes benchmarks/decoder_quality.json: CER/WER per algorithm + decode-only
-wall time per utterance (full on-device search, host does id→text only).
+Writes benchmarks/decoder_quality.json: per-seed CER/WER per algorithm +
+mean/spread + decode wall time per utterance (full on-device search, host
+does id→text only).
 """
 
 import json
@@ -29,6 +33,8 @@ TRAIN_STEPS = 450
 BATCH = 8
 BUCKET_FRAMES = 28
 BEAM_WIDTH = 5
+N_SEEDS = 3
+MAX_CHARS = 7
 
 
 def make_config():
@@ -61,15 +67,19 @@ def make_config():
 def batch_stream(tok, seed, n_batches):
     from multimodal_av_model_tpu.data.collate import BucketSpec
     from multimodal_av_model_tpu.data.pipeline import bucketed_batches
-    from multimodal_av_model_tpu.data.structured import StructuredPairSource
+    from multimodal_av_model_tpu.data.structured import (
+        RealTextStructuredSource,
+        load_reference_sentences,
+    )
 
-    src = StructuredPairSource(tok, seed=seed)
+    sents = load_reference_sentences("/root/reference/input_texts")
+    src = RealTextStructuredSource(tok, sents, seed=seed, max_chars=MAX_CHARS)
     spec = BucketSpec(BUCKET_FRAMES, BUCKET_FRAMES * 534, 8)
     it = (src.load_pair() for _ in range(n_batches * BATCH))
     return list(bucketed_batches(it, [spec], BATCH, drop_last=True))
 
 
-def main():
+def run_seed(seed: int):
     from multimodal_av_model_tpu.models import MultiSpeakerAVModel
     from multimodal_av_model_tpu.text import CharTokenizer
     from multimodal_av_model_tpu.train import MultiSpeakerTrainer
@@ -81,10 +91,10 @@ def main():
     cfg.model.decoder.vocab_size = tok.vocab_size
     trainer = MultiSpeakerTrainer(cfg, MultiSpeakerAVModel(cfg.model), tok)
 
-    train_batches = batch_stream(tok, seed=10, n_batches=40)
-    val_batches = batch_stream(tok, seed=99, n_batches=6)
+    train_batches = batch_stream(tok, seed=1000 * seed + 10, n_batches=40)
+    val_batches = batch_stream(tok, seed=1000 * seed + 99, n_batches=6)
 
-    st = trainer.init_state(1, train_batches[0])
+    st = trainer.init_state(1 + seed, train_batches[0])
     t0 = time.time()
     for i in range(TRAIN_STEPS):
         st, m = trainer.train_step(
@@ -110,17 +120,39 @@ def main():
         print(f"{algo}: cer={cer:.4f} wer={wer:.4f} "
               f"({1e3 * dt / n_utts:.1f} ms/utt incl. forward)", flush=True)
 
+    return results, cfg
+
+
+def main():
+    per_seed = {}
+    cfg = None
+    for seed in range(N_SEEDS):
+        print(f"=== seed {seed} ===", flush=True)
+        per_seed[str(seed)], cfg = run_seed(seed)
+
+    algos = sorted({a for r in per_seed.values() for a in r})
+    agg = {}
+    for a in algos:
+        agg[a] = {}
+        for metric in ("cer", "wer", "jer", "decode_ms_per_utt"):
+            vals = [r[a][metric] for r in per_seed.values()]
+            agg[a][metric] = {"mean": round(float(np.mean(vals)), 4),
+                              "std": round(float(np.std(vals)), 4)}
+
     out = {
         "train_steps": TRAIN_STEPS,
         "beam_width": BEAM_WIDTH,
         "prefix_top_k": cfg.decode.prefix_top_k,
-        "held_out_utterances": sum(2 * b["audio"].shape[0] for b in val_batches),
-        "results": results,
+        "corpus": "real AI-Hub transcripts (two-tone chords)",
+        "n_seeds": N_SEEDS,
+        "results_per_seed": per_seed,
+        "results": agg,
     }
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     path = os.path.join(root, "benchmarks", "decoder_quality.json")
     with open(path, "w") as f:
         json.dump(out, f, indent=2)
-    print(json.dumps(out))
+    print(json.dumps(agg))
 
 
 if __name__ == "__main__":

@@ -1,16 +1,21 @@
 #!/usr/bin/env python
 """LM shallow-fusion benchmark: does a corpus bigram LM cut held-out CER?
 
-Setup: structured synthetic pairs whose transcripts follow a fixed sparse
-Markov chain (data/structured.py ``markov=True``) — a "language" with
-sequential structure, unlike the uniform default.  One small AV model is
-trained on it; a bigram LM (text/ngram_lm.py) is fitted to the TRAIN
-transcripts only.  The held-out set is then decoded with greedy, the plain
-CTC prefix beam, and the prefix beam fused with the LM at several weights —
-each fusion arm both WITH and WITHOUT the principled insertion bonus
-``β = -α·mean_token_logprob`` (the LM term is always negative per emitted
-token, so unbonused fusion is a deletion-biased length penalty; the first
-run of this benchmark measured exactly that failure).
+Setup (round 3): structured pairs whose transcripts are REAL Korean
+sentences — the 517 AI-Hub transcripts bundled with the reference
+(reference input_texts/*.json; data/structured.RealTextStructuredSource
+renders each character as a separable two-tone chord).  The label stream
+therefore has the PRODUCTION character statistics: 800-way vocabulary,
+heavy-tailed unigrams, real Korean bigram structure for the LM to exploit.
+One small AV model is trained per seed; a bigram LM (text/ngram_lm.py) is
+fitted to the TRAIN transcripts only.  The held-out set is decoded with
+greedy, the plain CTC prefix beam, and the prefix beam fused with the LM at
+several weights — each fusion arm WITH and WITHOUT the principled insertion
+bonus ``β = -α·mean_token_logprob`` (the LM term is always negative per
+emitted token, so unbonused fusion is a deletion-biased length penalty; the
+first run of this benchmark measured exactly that failure).
+
+Runs N_SEEDS independent seeds and reports per-seed results + mean/spread.
 
 Writes benchmarks/lm_fusion.json.
 """
@@ -29,6 +34,8 @@ BATCH = 8
 TRAIN_BATCHES = 30
 BUCKET_FRAMES = 28
 LM_WEIGHTS = (0.2, 0.4, 0.8)
+N_SEEDS = 3
+MAX_CHARS = 7
 
 
 def make_config():
@@ -60,15 +67,19 @@ def make_config():
 def batch_stream(tok, seed, n_batches):
     from multimodal_av_model_tpu.data.collate import BucketSpec
     from multimodal_av_model_tpu.data.pipeline import bucketed_batches
-    from multimodal_av_model_tpu.data.structured import StructuredPairSource
+    from multimodal_av_model_tpu.data.structured import (
+        RealTextStructuredSource,
+        load_reference_sentences,
+    )
 
-    src = StructuredPairSource(tok, seed=seed, markov=True)
+    sents = load_reference_sentences("/root/reference/input_texts")
+    src = RealTextStructuredSource(tok, sents, seed=seed, max_chars=MAX_CHARS)
     spec = BucketSpec(BUCKET_FRAMES, BUCKET_FRAMES * 534, 8)
     it = (src.load_pair() for _ in range(n_batches * BATCH))
     return list(bucketed_batches(it, [spec], BATCH, drop_last=True))
 
 
-def main():
+def run_seed(seed: int):
     import jax
     import jax.numpy as jnp
 
@@ -87,8 +98,8 @@ def main():
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     tok = CharTokenizer(os.path.join(root, "assets", "tokenizer800.vocab"))
 
-    train_batches = batch_stream(tok, seed=0, n_batches=TRAIN_BATCHES)
-    val_batches = batch_stream(tok, seed=99, n_batches=6)
+    train_batches = batch_stream(tok, seed=1000 * seed, n_batches=TRAIN_BATCHES)
+    val_batches = batch_stream(tok, seed=1000 * seed + 99, n_batches=6)
 
     cfg = make_config()
     cfg.model.decoder.vocab_size = tok.vocab_size
@@ -106,7 +117,7 @@ def main():
     print(f"LM mean token logprob: {mean_lp:.3f}", flush=True)
 
     trainer = MultiSpeakerTrainer(cfg, MultiSpeakerAVModel(cfg.model), tok)
-    st = trainer.init_state(3, train_batches[0])
+    st = trainer.init_state(3 + seed, train_batches[0])
     t0 = time.time()
     for i in range(STEPS):
         st, _ = trainer.train_step(
@@ -154,13 +165,32 @@ def main():
     # Greedy reference point.
     _, _, greedy_cer, _ = trainer.evaluate(val_batches, st, use_beam=False)
     results["greedy"] = round(greedy_cer, 4)
+    return results
+
+
+def main():
+    per_seed = {}
+    for seed in range(N_SEEDS):
+        print(f"=== seed {seed} ===", flush=True)
+        per_seed[str(seed)] = run_seed(seed)
+
+    keys = sorted({k for r in per_seed.values() for k in r})
+    agg = {}
+    for k in keys:
+        vals = [r[k] for r in per_seed.values() if k in r]
+        agg[k] = {"mean": round(float(np.mean(vals)), 4),
+                  "std": round(float(np.std(vals)), 4),
+                  "n": len(vals)}
 
     out_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "lm_fusion.json")
     with open(out_path, "w") as f:
         json.dump({"steps": STEPS, "lm_weights": LM_WEIGHTS,
-                   "heldout_cer": results}, f, indent=2)
-    print(json.dumps(results))
+                   "corpus": "real AI-Hub transcripts (two-tone chords)",
+                   "n_seeds": N_SEEDS,
+                   "heldout_cer_per_seed": per_seed,
+                   "heldout_cer": agg}, f, indent=2)
+    print(json.dumps(agg))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,412 @@
+#!/usr/bin/env python
+"""Head-to-head accuracy parity: our flagship vs the REFERENCE torch stack.
+
+The project's north star is throughput *at matched CER* (BASELINE.json), so
+throughput claims are meaningless without a quality comparison against the
+reference system itself.  This benchmark trains BOTH systems from scratch on
+the SAME structured corpus, evaluates BOTH with the same greedy decode and
+the same CER code on the same held-out pairs, at matched optimizer steps:
+
+* REFERENCE side: the reference's own modules imported read-only from
+  /root/reference — VisualEncoder (model/encoder.py:57-75),
+  CrossAttentionFusion (model/fusion_module.py:5-67), CTCDecoder
+  (model/decoder.py:6-35), contrastive_loss_with_mask (contrastive.py:8-44)
+  — driven by the train-step math of model/trainer.py:88-123 (per-group Adam
+  1e-4 / audio 2e-5, trainer.py:34-39; loss = (ctc1+ctc2)/2 +
+  0.1·(con1+con2)/2, trainer.py:119).  The undownloadable pretrained
+  wav2vec2 (model/encoder.py:83) is replaced by a small random-init
+  transformer stand-in SIZED LIKE OUR audio encoder (same d_model/layers),
+  since both sides must learn from scratch for the comparison to be fair
+  (neither side gets pretrained weights; BASELINE.md documents the
+  full-size compute stand-in used for throughput).
+* OUR side: the flagship MultiSpeakerAVModel at matched dimensions, the
+  production jitted trainer, default config semantics (same loss weights /
+  LR groups — they ARE the reference's values, config.py).
+
+Corpus: data/structured.py tone+grating pairs (learnable audio↔label and
+video↔label structure, production mix/mask semantics), lip 32×32 and short
+utterances so the single-core CPU reference finishes a few hundred steps.
+
+Decode: greedy CTC collapse on both sides (the reference's ctc_decode,
+model/trainer.py:168-177 ≡ our ops/ctc.ctc_greedy_decode — verified
+equivalent in tests/test_ctc.py).  Metric: ops/metrics.cer on tokenizer-
+decoded strings for both.
+
+Writes benchmarks/parity_ab.json:
+  {"steps": [...], "reference": {"cer": {...}, "sec_per_step": ...},
+   "ours": {"cer": {...}, "sec_per_step": ...}, "speedup": ...}
+
+Usage:
+  python benchmarks/parity_ab.py --side=reference   # CPU, slow (background)
+  python benchmarks/parity_ab.py --side=ours        # TPU (or CPU fallback)
+  python benchmarks/parity_ab.py --side=merge       # combine partials
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+OUT = os.path.join(REPO, "benchmarks", "parity_ab.json")
+
+# -- shared experiment definition ---------------------------------------------
+
+SEED = 0
+BATCH = 8
+EVAL_PAIRS = 64
+EVAL_STEPS = (200, 400, 800)     # matched-step checkpoints
+# Both sides train ALL param groups at 1e-3.  The reference's own 1e-4 /
+# 2e-5 split (model/trainer.py:34-39) presumes a pretrained wav2vec2; from
+# scratch it leaves BOTH systems in the all-blank CTC phase for thousands of
+# steps (measured: reference loss plateaus at ~3.2, CER 1.0 at step 100+).
+# A matched higher LR keeps the comparison about the systems, not about a
+# recipe tuned for weights neither side has.
+LR = 1e-3
+LIP = 32
+FRAMES_PER_TOKEN = 2
+LABEL_LEN = (3, 7)
+VIDEO_BUCKET = 16                # >= 7 tokens * 2 frames
+AUDIO_SAMPLES = VIDEO_BUCKET * 534
+MAX_LABEL = 8
+D_AUDIO = 256
+AUDIO_LAYERS = 4
+FUSED = 512
+
+
+def corpus_batches(tokenizer, seed, n_batches):
+    """Deterministic batched stream shared by both sides."""
+    from multimodal_av_model_tpu.data.collate import BucketSpec, collate_pairs
+    from multimodal_av_model_tpu.data.structured import StructuredPairSource
+
+    src = StructuredPairSource(
+        tokenizer, seed=seed, lip_size=LIP, frames_per_token=FRAMES_PER_TOKEN,
+        label_len=LABEL_LEN,
+    )
+    spec = BucketSpec(VIDEO_BUCKET, AUDIO_SAMPLES, MAX_LABEL)
+    for _ in range(n_batches):
+        yield collate_pairs([src.load_pair() for _ in range(BATCH)], spec)
+
+
+def load_tokenizer():
+    from multimodal_av_model_tpu.text import CharTokenizer
+
+    return CharTokenizer(os.path.join(REPO, "assets", "tokenizer800.vocab"))
+
+
+def eval_cer(tokenizer, decode_batch_fn, eval_batches):
+    """CER over held-out pairs; ``decode_batch_fn(batch) -> (hyp_ids1 list,
+    hyp_ids2 list)`` per sample, already collapsed."""
+    from multimodal_av_model_tpu.ops.metrics import cer
+
+    refs, hyps = [], []
+    for batch in eval_batches:
+        ids1, ids2 = decode_batch_fn(batch)
+        t1, l1 = batch["text1"], batch["text1_lengths"]
+        t2, l2 = batch["text2"], batch["text2_lengths"]
+        for b in range(len(ids1)):
+            hyps.append(tokenizer.decode(list(ids1[b])))
+            refs.append(tokenizer.decode(list(t1[b, : l1[b]])))
+            hyps.append(tokenizer.decode(list(ids2[b])))
+            refs.append(tokenizer.decode(list(t2[b, : l2[b]])))
+    return cer(refs, hyps)
+
+
+def fixed_eval_batches(tokenizer):
+    return list(corpus_batches(tokenizer, SEED + 1, EVAL_PAIRS // BATCH))
+
+
+def _write_partial(key, payload):
+    data = {}
+    if os.path.isfile(OUT):
+        with open(OUT) as f:
+            data = json.load(f)
+    data[key] = payload
+    data["config"] = {
+        "seed": SEED, "batch": BATCH, "eval_pairs": EVAL_PAIRS,
+        "eval_steps": list(EVAL_STEPS), "lip": LIP,
+        "frames_per_token": FRAMES_PER_TOKEN, "video_bucket": VIDEO_BUCKET,
+        "d_audio": D_AUDIO, "audio_layers": AUDIO_LAYERS, "fused": FUSED,
+        "decode": "greedy", "metric": "ops.metrics.cer",
+    }
+    last = str(max(EVAL_STEPS))
+    if ("reference" in data and "ours" in data
+            and last in data["reference"]["cer"] and last in data["ours"]["cer"]):
+        ref, ours = data["reference"], data["ours"]
+        data["speedup"] = ref["sec_per_step"] / ours["sec_per_step"]
+        # First checkpoint where ours reaches the reference's FINAL CER —
+        # the "matched CER" form of the north star: how much sooner (steps
+        # and wall-clock) our system gets to the quality the reference ends
+        # at under the identical workload.
+        target = ref["cer"][last]
+        step_match = next((int(s) for s in sorted(ours["cer"], key=int)
+                           if ours["cer"][s] <= target), None)
+        data["summary"] = {
+            "cer_ours": ours["cer"][last], "cer_reference": ref["cer"][last],
+            "ours_matches_or_beats": ours["cer"][last] <= ref["cer"][last],
+            "wall_clock_ratio": data["speedup"],
+            "ours_steps_to_reference_final_cer": step_match,
+            "time_to_matched_cer_ratio": (
+                None if step_match is None else
+                (int(last) * ref["sec_per_step"])
+                / (step_match * ours["sec_per_step"])),
+        }
+    with open(OUT, "w") as f:
+        json.dump(data, f, indent=2)
+    print(json.dumps({key: payload.get("cer"), "written": OUT}))
+
+
+# -- reference side (torch, CPU) ----------------------------------------------
+
+def _import_reference():
+    import types
+
+    import torch
+
+    sys.path.insert(0, "/root/reference")
+    # Dead torchvision import in the reference encoder (model/encoder.py:3)
+    # and the HF download we must not attempt: stub both.
+    _tv = types.ModuleType("torchvision")
+    _tv.models = types.ModuleType("torchvision.models")
+    sys.modules.setdefault("torchvision", _tv)
+    sys.modules.setdefault("torchvision.models", _tv.models)
+    _hf = types.ModuleType("transformers")
+
+    class _NoHF:
+        @staticmethod
+        def from_pretrained(*a, **k):
+            raise RuntimeError("no network access")
+
+    _hf.Wav2Vec2Model = _NoHF
+    sys.modules.setdefault("transformers", _hf)
+
+    from contrastive import contrastive_loss_with_mask
+    from model.decoder import CTCDecoder
+    from model.encoder import VisualEncoder
+    from model.fusion_module import CrossAttentionFusion
+
+    return torch, VisualEncoder, CrossAttentionFusion, CTCDecoder, \
+        contrastive_loss_with_mask
+
+
+def run_reference():
+    torch, VisualEncoder, CrossAttentionFusion, CTCDecoder, contrastive = \
+        _import_reference()
+    import torch.nn as nn
+    import torch.nn.functional as F
+
+    torch.manual_seed(SEED)
+    torch.set_num_threads(os.cpu_count() or 1)
+
+    class AudioStandIn(nn.Module):
+        """wav2vec2-architecture stand-in at OUR audio encoder's size (both
+        sides learn from scratch; see module docstring).  Same conv-extractor
+        stride stack as wav2vec2 (320x downsample), transformer d=D_AUDIO."""
+
+        def __init__(self):
+            super().__init__()
+            convs, dims = [], [(1, 128, 10, 5)] + [(128, 128, 3, 2)] * 4 + \
+                [(128, 128, 2, 2)] * 2
+            for cin, cout, k, s in dims:
+                convs += [nn.Conv1d(cin, cout, k, s), nn.GELU()]
+            self.extractor = nn.Sequential(*convs)
+            self.proj = nn.Linear(128, D_AUDIO)
+            self.layers = nn.ModuleList([
+                nn.TransformerEncoderLayer(D_AUDIO, 4, 4 * D_AUDIO,
+                                           batch_first=True, activation="gelu")
+                for _ in range(AUDIO_LAYERS)])
+            self.output_dim = D_AUDIO
+
+        def forward(self, x, attention_mask=None):
+            h = self.proj(self.extractor(x.unsqueeze(1)).transpose(1, 2))
+            pad = None
+            if attention_mask is not None:
+                # Downsample the sample-rate mask to encoder frames (what HF
+                # wav2vec2 does internally) and mask padding in attention.
+                m = F.interpolate(attention_mask.unsqueeze(1).float(),
+                                  size=h.shape[1], mode="nearest").squeeze(1)
+                pad = m < 0.5
+            hiddens = []
+            for layer in self.layers:
+                h = layer(h, src_key_padding_mask=pad)
+                hiddens.append(h)
+            # Reference mid-layer tap (model/encoder.py:94-100): mean of the
+            # middle hidden states.
+            mid = torch.stack(hiddens[1:3]).mean(0)
+            return h, mid
+
+    tokenizer = load_tokenizer()
+    vocab, blank = tokenizer.vocab_size, 3
+    visual = VisualEncoder()
+    audio = AudioStandIn()
+    fusion = CrossAttentionFusion(512, D_AUDIO, FUSED)
+    decoder = CTCDecoder(2 * FUSED, vocab, blank_id=blank)
+    proj = nn.Linear(D_AUDIO, 128)   # contrastive projection (trainer.py:105)
+    ctc = nn.CTCLoss(blank=blank, zero_infinity=True)
+    opt = torch.optim.Adam([
+        {"params": list(visual.parameters()) + list(fusion.parameters())
+         + list(decoder.parameters()) + list(proj.parameters()), "lr": LR},
+        {"params": audio.parameters(), "lr": LR},     # see LR note above
+    ])
+
+    def to_torch(batch):
+        return {k: torch.tensor(np.asarray(v)) for k, v in batch.items()}
+
+    def forward(tb, train):
+        lips1 = tb["lip1"].permute(0, 2, 1, 3, 4)   # [B,1,T,H,W] trainer.py:66
+        lips2 = tb["lip2"].permute(0, 2, 1, 3, 4)
+        vf1, vf2 = visual(lips1), visual(lips2)
+        af1, am1 = audio(tb["audio"], attention_mask=(tb["mask1"] != 3))
+        af2, am2 = audio(tb["audio"], attention_mask=(tb["mask2"] != 3))
+        T_enc = af1.shape[1]
+        m1 = F.interpolate(tb["mask1"].unsqueeze(1).float(), size=T_enc,
+                           mode="nearest").squeeze(1).long()
+        m2 = F.interpolate(tb["mask2"].unsqueeze(1).float(), size=T_enc,
+                           mode="nearest").squeeze(1).long()
+        f1, il1 = fusion(vf1, af1, mask=m1)
+        f2, il2 = fusion(vf2, af2, mask=m2)
+        lp1, lp2 = decoder(f1), decoder(f2)
+        out = (lp1, il1, lp2, il2)
+        if not train:
+            return out, None
+        c1 = contrastive(am1, m1.reshape(-1), projection_layer=proj)
+        c2 = contrastive(am2, m2.reshape(-1), projection_layer=proj)
+        l1 = ctc(lp1.transpose(0, 1), tb["text1"], il1, tb["text1_lengths"])
+        l2 = ctc(lp2.transpose(0, 1), tb["text2"], il2, tb["text2_lengths"])
+        loss = (l1 + l2) / 2 + 0.1 * (c1 + c2) / 2    # trainer.py:119
+        return out, loss
+
+    def greedy(lp, il):
+        """Reference ctc_decode semantics (trainer.py:168-177)."""
+        ids = lp.argmax(-1)
+        outs = []
+        for b in range(ids.shape[0]):
+            seq, prev = [], None
+            for t in range(int(il[b])):
+                tok = int(ids[b, t])
+                if tok != prev and tok != blank:
+                    seq.append(tok)
+                prev = tok
+            outs.append(seq)
+        return outs
+
+    eval_b = fixed_eval_batches(tokenizer)
+
+    def decode_batch(batch):
+        tb = to_torch(batch)
+        with torch.no_grad():
+            (lp1, il1, lp2, il2), _ = forward(tb, train=False)
+        return greedy(lp1, il1), greedy(lp2, il2)
+
+    cers, times = {}, []
+    stream = corpus_batches(tokenizer, SEED, max(EVAL_STEPS))
+    step = 0
+    for batch in stream:
+        tb = to_torch(batch)
+        t0 = time.perf_counter()
+        opt.zero_grad()
+        _, loss = forward(tb, train=True)
+        loss.backward()
+        opt.step()
+        times.append(time.perf_counter() - t0)
+        step += 1
+        if step % 20 == 0:
+            print(f"[ref {step}] loss={float(loss):.4f} "
+                  f"sec/step={np.mean(times[-20:]):.2f}", flush=True)
+        if step in EVAL_STEPS:
+            c = eval_cer(tokenizer, decode_batch, eval_b)
+            cers[str(step)] = c
+            print(f"[ref eval @{step}] cer={c:.4f}", flush=True)
+            _write_partial("reference", {
+                "cer": cers, "sec_per_step": float(np.mean(times[5:])),
+                "device": "cpu", "torch_threads":
+                    __import__("torch").get_num_threads(),
+                "params_m": sum(p.numel() for p in
+                                list(visual.parameters())
+                                + list(audio.parameters())
+                                + list(fusion.parameters())
+                                + list(decoder.parameters())) / 1e6,
+            })
+
+
+# -- our side (flagship, TPU) -------------------------------------------------
+
+def run_ours():
+    import jax
+
+    from multimodal_av_model_tpu.config import Config
+    from multimodal_av_model_tpu.models import MultiSpeakerAVModel
+    from multimodal_av_model_tpu.train import MultiSpeakerTrainer
+
+    tokenizer = load_tokenizer()
+    cfg = Config()
+    cfg.model.decoder.vocab_size = tokenizer.vocab_size
+    # Matched dimensions (see module docstring): audio at D_AUDIO x LAYERS,
+    # visual/fusion/decoder at the reference modules' sizes.
+    cfg.model.audio.d_model = D_AUDIO
+    cfg.model.audio.num_layers = AUDIO_LAYERS
+    cfg.model.audio.num_heads = 4
+    cfg.model.audio.ffn_dim = 4 * D_AUDIO
+    cfg.model.audio.output_dim = D_AUDIO
+    cfg.model.audio.middle_layers = (1, 2)
+    cfg.model.fusion.fused_dim = FUSED
+    cfg.train.learning_rate = LR
+    cfg.train.audio_learning_rate = LR
+
+    model = MultiSpeakerAVModel(cfg.model, dtype=jax.numpy.bfloat16)
+    trainer = MultiSpeakerTrainer(cfg, model, tokenizer)
+
+    eval_b = fixed_eval_batches(tokenizer)
+    stream = corpus_batches(tokenizer, SEED, max(EVAL_STEPS))
+    first = next(iter(corpus_batches(tokenizer, SEED, 1)))
+    state = trainer.init_state(SEED, first)
+
+    def decode_batch(batch):
+        _, out = trainer.eval_step(state, trainer._place(batch))
+        ids1 = np.asarray(out["greedy1"]); n1 = np.asarray(out["greedy1_len"])
+        ids2 = np.asarray(out["greedy2"]); n2 = np.asarray(out["greedy2_len"])
+        return ([list(ids1[b, : n1[b]]) for b in range(ids1.shape[0])],
+                [list(ids2[b, : n2[b]]) for b in range(ids2.shape[0])])
+
+    cers, times = {}, []
+    step = 0
+    for batch in stream:
+        placed = trainer._place(batch)
+        t0 = time.perf_counter()
+        state, metrics = trainer.train_step(state, placed)
+        loss = float(metrics["loss"])     # host readback = honest timing
+        times.append(time.perf_counter() - t0)
+        step += 1
+        if step % 50 == 0:
+            print(f"[ours {step}] loss={loss:.4f} "
+                  f"sec/step={np.mean(times[-20:]):.3f}", flush=True)
+        if step in EVAL_STEPS:
+            c = eval_cer(tokenizer, decode_batch, eval_b)
+            cers[str(step)] = c
+            print(f"[ours eval @{step}] cer={c:.4f}", flush=True)
+            _write_partial("ours", {
+                "cer": cers,
+                # skip compile steps in the mean
+                "sec_per_step": float(np.mean(sorted(times)[: max(len(times)
+                                                                  - 5, 1)])),
+                "device": str(jax.devices()[0]),
+            })
+
+
+if __name__ == "__main__":
+    side = "ours"
+    for a in sys.argv[1:]:
+        if a.startswith("--side="):
+            side = a.split("=", 1)[1]
+    if side == "reference":
+        run_reference()
+    elif side == "ours":
+        run_ours()
+    else:
+        with open(OUT) as f:
+            print(json.dumps(json.load(f).get("summary"), indent=2))

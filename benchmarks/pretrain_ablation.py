@@ -24,6 +24,10 @@ Measurements:
   (b) FINETUNE — full-loss AV training from each init; eval CER on held-out
       pairs at fixed step checkpoints + steps to a CER target.
 
+The experiment repeats over N_SEEDS independent data/init seeds
+(per-seed results + mean/spread in the JSON) so the headline claims carry a
+noise bar.
+
 Writes benchmarks/pretrain_ablation.json.
 """
 
@@ -38,6 +42,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 PRETRAIN_STEPS = 400
 FINETUNE_STEPS = 600
+N_SEEDS = 3
 EVAL_EVERY = 100
 BATCH = 8
 CER_TARGET = 0.5
@@ -102,7 +107,7 @@ def solo_frame_token_labels(batch, t_enc):
     return lab[:, idx]
 
 
-def main():
+def run_seed(seed: int):
     import jax
 
     from multimodal_av_model_tpu.models import MultiSpeakerAVModel
@@ -118,10 +123,10 @@ def main():
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     tok = CharTokenizer(os.path.join(root, "assets", "tokenizer800.vocab"))
 
-    pre_batches = batch_stream(tok, seed=0, n_batches=40)
-    ft_batches = batch_stream(tok, seed=10, n_batches=40)
-    val_batches = batch_stream(tok, seed=99, n_batches=4)
-    probe_batches = batch_stream(tok, seed=123, n_batches=4)
+    pre_batches = batch_stream(tok, seed=1000 * seed, n_batches=40)
+    ft_batches = batch_stream(tok, seed=1000 * seed + 10, n_batches=40)
+    val_batches = batch_stream(tok, seed=1000 * seed + 99, n_batches=4)
+    probe_batches = batch_stream(tok, seed=1000 * seed + 123, n_batches=4)
 
     cfg = make_config()
     cfg.model.decoder.vocab_size = tok.vocab_size
@@ -164,7 +169,7 @@ def main():
     cfg_b.model.decoder.vocab_size = tok.vocab_size
     cfg_b.train.contrastive_only = True
     trainer_b = MultiSpeakerTrainer(cfg_b, MultiSpeakerAVModel(cfg_b.model), tok)
-    state_b = trainer_b.init_state(0, pre_batches[0])
+    state_b = trainer_b.init_state(seed, pre_batches[0])
     random_audio_params = jax.device_get(state_b.params)["audio_encoder"]
 
     t0 = time.time()
@@ -180,7 +185,7 @@ def main():
     cfg_c = make_config()
     cfg_c.model.decoder.vocab_size = tok.vocab_size
     ssl = MaskedAudioPretrainer(cfg_c)
-    ssl_state = ssl.init_state(0, pre_batches[0])
+    ssl_state = ssl.init_state(seed, pre_batches[0])
     t0 = time.time()
     stream = (pre_batches[i % len(pre_batches)] for i in range(PRETRAIN_STEPS))
     ssl_state = ssl.fit(ssl_state, stream, log_every=200)
@@ -202,7 +207,7 @@ def main():
         cfg_ft = make_config()
         cfg_ft.model.decoder.vocab_size = tok.vocab_size
         trainer = MultiSpeakerTrainer(cfg_ft, MultiSpeakerAVModel(cfg_ft.model), tok)
-        st = trainer.init_state(1, ft_batches[0])
+        st = trainer.init_state(1 + seed, ft_batches[0])
         if graft_source is not None:
             st = st.replace(params=graft_subtree(
                 jax.device_get(st.params), graft_source, keys))
@@ -229,7 +234,7 @@ def main():
                 return p["step"]
         return None
 
-    result = {
+    return {
         "pretrain_steps": PRETRAIN_STEPS,
         "pretrain_final_loss": {"contrastive_only": round(loss_b, 4),
                                 "masked_infonce_ssl": round(loss_c, 4)},
@@ -244,11 +249,34 @@ def main():
             "from_masked_infonce_ssl": steps_to(curve_c, CER_TARGET),
         },
     }
+
+
+def main():
+    per_seed = {}
+    for seed in range(N_SEEDS):
+        print(f"=== seed {seed} ===", flush=True)
+        per_seed[str(seed)] = run_seed(seed)
+
+    arms = ("from_scratch", "from_contrastive_only", "from_masked_infonce_ssl")
+    agg = {"final_cer": {}, "probe_token_id_on_solo": {}}
+    for arm in arms:
+        finals = [per_seed[s]["finetune"][arm][-1]["cer"] for s in per_seed]
+        agg["final_cer"][arm] = {"mean": round(float(np.mean(finals)), 4),
+                                 "std": round(float(np.std(finals)), 4),
+                                 "per_seed": finals}
+    for init in ("random_init", "contrastive_only", "masked_infonce_ssl"):
+        accs = [per_seed[s]["probe_acc"][init]["token_id_on_solo"]
+                for s in per_seed]
+        agg["probe_token_id_on_solo"][init] = {
+            "mean": round(float(np.mean(accs)), 4),
+            "std": round(float(np.std(accs)), 4)}
+
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "pretrain_ablation.json")
     with open(out, "w") as f:
-        json.dump(result, f, indent=2)
-    print(json.dumps(result["steps_to_cer"]))
+        json.dump({"n_seeds": N_SEEDS, "per_seed": per_seed,
+                   "aggregate": agg}, f, indent=2)
+    print(json.dumps(agg))
 
 
 if __name__ == "__main__":

@@ -13,7 +13,9 @@ can overfit and regularization has something to do:
          whether that breaks learning at this scale.
 
 Each arm trains the same tiny AV model for the same steps from the same
-init seed and evaluates held-out CER periodically (greedy decode).
+init seed and evaluates held-out CER periodically (greedy decode).  The
+whole experiment repeats over N_SEEDS independent data/init seeds; the JSON
+reports per-seed finals and mean/spread.
 Writes benchmarks/specaug_ablation.json.
 """
 
@@ -22,10 +24,13 @@ import os
 import sys
 import time
 
+import numpy as np
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 STEPS = 600
 EVAL_EVERY = 150
+N_SEEDS = 3
 BATCH = 8
 TRAIN_BATCHES = 8          # small on purpose: make overfitting visible
 BUCKET_FRAMES = 28
@@ -78,7 +83,7 @@ def batch_stream(tok, seed, n_batches):
     return list(bucketed_batches(it, [spec], BATCH, drop_last=True))
 
 
-def main():
+def run_seed(seed: int):
     import jax
 
     from multimodal_av_model_tpu.models import MultiSpeakerAVModel
@@ -88,15 +93,15 @@ def main():
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     tok = CharTokenizer(os.path.join(root, "assets", "tokenizer800.vocab"))
 
-    train_batches = batch_stream(tok, seed=0, n_batches=TRAIN_BATCHES)
-    val_batches = batch_stream(tok, seed=99, n_batches=4)
+    train_batches = batch_stream(tok, seed=1000 * seed, n_batches=TRAIN_BATCHES)
+    val_batches = batch_stream(tok, seed=1000 * seed + 99, n_batches=4)
 
     results = {}
     for name, arm in ARMS.items():
         cfg = make_config(arm)
         cfg.model.decoder.vocab_size = tok.vocab_size
         trainer = MultiSpeakerTrainer(cfg, MultiSpeakerAVModel(cfg.model), tok)
-        st = trainer.init_state(7, train_batches[0])
+        st = trainer.init_state(7 + seed, train_batches[0])
         curve = []
         t0 = time.time()
         for i in range(STEPS):
@@ -125,12 +130,33 @@ def main():
             "wall_s": round(time.time() - t0, 1),
         }
 
+    return results
+
+
+def main():
+    per_seed = {}
+    for seed in range(N_SEEDS):
+        print(f"=== seed {seed} ===", flush=True)
+        per_seed[str(seed)] = run_seed(seed)
+
+    agg = {}
+    for arm in ARMS:
+        finals = [per_seed[s][arm]["final_heldout_cer"] for s in per_seed]
+        gaps = [per_seed[s][arm]["generalization_gap"] for s in per_seed]
+        agg[arm] = {
+            "final_heldout_cer": {"mean": round(float(np.mean(finals)), 4),
+                                  "std": round(float(np.std(finals)), 4)},
+            "generalization_gap": {"mean": round(float(np.mean(gaps)), 4),
+                                   "std": round(float(np.std(gaps)), 4)},
+        }
+
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "specaug_ablation.json")
     with open(out, "w") as f:
         json.dump({"steps": STEPS, "train_batches": TRAIN_BATCHES,
-                   "results": results}, f, indent=2)
-    print(json.dumps({k: v["final_heldout_cer"] for k, v in results.items()}))
+                   "n_seeds": N_SEEDS,
+                   "results_per_seed": per_seed, "results": agg}, f, indent=2)
+    print(json.dumps(agg))
 
 
 if __name__ == "__main__":

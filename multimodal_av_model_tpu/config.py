@@ -72,6 +72,12 @@ class VisualEncoderConfig:
     resnet_layers: tuple[int, ...] = (2, 2, 2, 2)
     resnet_channels: tuple[int, ...] = (64, 128, 256, 512)
     norm: str = "batch"               # "batch" (reference parity) or "group" (stateless)
+    # Trunk activation (the reference's own relu_type option,
+    # model/encoder.py:7-11): "prelu" (reference default) or "relu".  Each
+    # PReLU carries a per-channel alpha whose gradient is one more full
+    # f32 reduction pass over the feature map — "relu" drops 17 such passes
+    # per step (perf measurement in docs/DESIGN.md §2).
+    activation: str = "prelu"
     output_dim: int = 512             # reference model/encoder.py:67
     image_size: int = 96              # reference dataset/multi_speaker_dataset.py:51
     # Rematerialization of the visual trunk in the backward pass:
@@ -150,6 +156,14 @@ class ModelConfig:
     contrastive: ContrastiveConfig = field(default_factory=ContrastiveConfig)
     decoder: DecoderConfig = field(default_factory=DecoderConfig)
     dtype: str = "bfloat16"           # activation dtype; params stay float32
+    # The reference encodes the SAME mixture twice per step with per-speaker
+    # attention masks (model/trainer.py:94-95) — but those masks are both
+    # ``mask != 3`` and pad positions are shared, so the two passes compute
+    # identical features.  True = encode once and reuse for both speakers
+    # (exact in eval; in training the speakers share one dropout draw —
+    # the reference's production audio encoder is frozen anyway,
+    # main.py:105).  False = reference-shaped double pass.
+    shared_audio_pass: bool = True
 
 
 @dataclass

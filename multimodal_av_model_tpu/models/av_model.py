@@ -110,9 +110,23 @@ class MultiSpeakerAVModel(nn.Module):
             l2 = lip2_len if lip2_len is not None else jnp.full((B,), T_v, jnp.int32)
             lens = jnp.concatenate([l1, l2], 0)
 
-        last, middle, _, _ = self.audio_encoder(
-            audio2, sample_mask=(masks != 3), deterministic=not train
-        )
+        if self.config.shared_audio_pass:
+            # Both "passes" of the reference encode the SAME mixture under the
+            # SAME attention mask (mask != 3; pad positions are shared between
+            # speakers by construction — data/collate.py pads both masks with
+            # 3 at the audio pad) — so encode ONCE and reuse.  Halves audio
+            # encoder FLOPs fwd+bwd; exact in eval, and in training the only
+            # divergence is that the speakers share one dropout draw
+            # (config.py:ModelConfig.shared_audio_pass).
+            last_1, middle_1, _, _ = self.audio_encoder(
+                audio, sample_mask=(mask1 != 3), deterministic=not train
+            )
+            last = jnp.concatenate([last_1, last_1], 0)
+            middle = jnp.concatenate([middle_1, middle_1], 0)
+        else:
+            last, middle, _, _ = self.audio_encoder(
+                audio2, sample_mask=(masks != 3), deterministic=not train
+            )
         T_enc = last.shape[1]
         mask_ds = downsample_mask_to(masks, T_enc)
         contrast = self.contrastive_proj(middle.astype(jnp.float32))

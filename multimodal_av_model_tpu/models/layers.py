@@ -34,6 +34,17 @@ class PReLU(nn.Module):
         return jnp.maximum(x, 0) + alpha * jnp.minimum(x, 0)
 
 
+def make_act(kind: str, dtype: Dtype):
+    """Trunk activation factory (the reference's relu_type option,
+    model/encoder.py:7-11): 'prelu' (parity default) or 'relu' (no learnable
+    alpha → no per-channel alpha-grad reduction pass; see DESIGN.md §2)."""
+    if kind == "prelu":
+        return PReLU(dtype=dtype)
+    if kind == "relu":
+        return nn.relu
+    raise ValueError(f"unknown activation kind {kind!r}")
+
+
 def make_norm(kind: str, dtype: Dtype, use_running_average: bool | None = None):
     """Feature-axis norm factory: 'batch' (reference parity) or 'group'
     (stateless; preferable at tiny per-device batch)."""

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..config import VisualEncoderConfig
-from .layers import Dtype, PReLU, make_norm
+from .layers import Dtype, make_act, make_norm
 
 
 class BasicBlock(nn.Module):
@@ -31,6 +31,7 @@ class BasicBlock(nn.Module):
     stride: int = 1
     norm: str = "batch"
     dtype: Dtype = jnp.float32
+    activation: str = "prelu"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -38,14 +39,14 @@ class BasicBlock(nn.Module):
         h = nn.Conv(self.features, (3, 3), (self.stride, self.stride), padding=1,
                     use_bias=False, dtype=self.dtype)(x)
         h = make_norm(self.norm, self.dtype, use_running_average=not train)(h)
-        h = PReLU(dtype=self.dtype)(h)
+        h = make_act(self.activation, self.dtype)(h)
         h = nn.Conv(self.features, (3, 3), padding=1, use_bias=False, dtype=self.dtype)(h)
         h = make_norm(self.norm, self.dtype, use_running_average=not train)(h)
         if self.stride != 1 or x.shape[-1] != self.features:
             identity = nn.Conv(self.features, (1, 1), (self.stride, self.stride),
                                use_bias=False, dtype=self.dtype)(x)
             identity = make_norm(self.norm, self.dtype, use_running_average=not train)(identity)
-        return PReLU(dtype=self.dtype)(h + identity)
+        return make_act(self.activation, self.dtype)(h + identity)
 
 
 class ResNetTrunk(nn.Module):
@@ -55,6 +56,7 @@ class ResNetTrunk(nn.Module):
     channels: tuple[int, ...] = (64, 128, 256, 512)
     norm: str = "batch"
     dtype: Dtype = jnp.float32
+    activation: str = "prelu"
     remat_stage1: bool = False        # checkpoint stage-1 blocks (the
                                       # largest trunk activations) — see
                                       # VisualEncoderConfig.remat="stage1"
@@ -67,6 +69,7 @@ class ResNetTrunk(nn.Module):
             for b in range(blocks):
                 stride = 2 if (stage > 0 and b == 0) else 1
                 x = block_cls(feats, stride, self.norm, self.dtype,
+                              self.activation,
                               name=f"layer{stage + 1}_{b}")(x, train)
         return x.mean(axis=(1, 2))                  # adaptive avg-pool to 1×1
 
@@ -112,7 +115,7 @@ class VisualEncoder(nn.Module):
                 name="frontend_conv",
             )(h)
             h = make_norm(cfg.norm, mdl.dtype, use_running_average=not train)(h)
-            h = PReLU(dtype=mdl.dtype)(h)
+            h = make_act(cfg.activation, mdl.dtype)(h)
             return nn.max_pool(
                 h, window_shape=(3, 3), strides=(2, 2), padding=((1, 1), (1, 1))
             )
@@ -127,6 +130,7 @@ class VisualEncoder(nn.Module):
         x = frontend(self, x, train)
 
         x = ResNetTrunk(cfg.resnet_layers, cfg.resnet_channels, cfg.norm, self.dtype,
+                        activation=cfg.activation,
                         remat_stage1=(cfg.remat == "stage1"),
                         name="trunk")(x, train)
         x = x.reshape(B, T, cfg.resnet_channels[-1])

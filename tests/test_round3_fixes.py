@@ -309,3 +309,114 @@ def test_local_helpers_on_virtual_mesh():
     np.testing.assert_array_equal(local_batch_rows(out), batch["x"] * 2)
     # Plain numpy passes through untouched.
     np.testing.assert_array_equal(local_batch_rows(batch["x"]), batch["x"])
+
+
+# -- shared audio pass + activation option (round-3 perf levers) ---------------
+
+def _flagship_inputs(B=2, T=4, S=2136, seed=0):
+    rng = np.random.default_rng(seed)
+    return dict(
+        lip1=rng.uniform(size=(B, T, 1, 24, 24)).astype(np.float32),
+        lip2=rng.uniform(size=(B, T, 1, 24, 24)).astype(np.float32),
+        audio=(rng.standard_normal((B, S)) * 0.1).astype(np.float32),
+        mask1=rng.integers(0, 3, size=(B, S)).astype(np.int32),
+        mask2=rng.integers(0, 3, size=(B, S)).astype(np.int32),
+        lip1_len=np.full((B,), T, np.int32),
+        lip2_len=np.full((B,), T, np.int32),
+    )
+
+
+def test_shared_audio_pass_exact_in_eval(tok):
+    """shared_audio_pass=True must produce the same eval outputs as the
+    reference-shaped double pass: both passes see the same mixture under the
+    same sample mask (mask != 3; pad positions shared between speakers).
+    Tolerance is float-noise only — the [B] vs [2B] batch changes XLA's
+    reduction tiling, not the math."""
+    from multimodal_av_model_tpu.models import MultiSpeakerAVModel
+
+    cfg = tiny_config()
+    cfg.model.decoder.vocab_size = tok.vocab_size
+    inputs = _flagship_inputs()
+
+    cfg.model.shared_audio_pass = False
+    m_double = MultiSpeakerAVModel(cfg.model)
+    variables = jax.jit(m_double.init)(jax.random.PRNGKey(0), **inputs)
+
+    out_double = m_double.apply(variables, **inputs)
+
+    import dataclasses as _dc
+    cfg2 = tiny_config()
+    cfg2.model.decoder.vocab_size = tok.vocab_size
+    cfg2.model.shared_audio_pass = True
+    m_shared = MultiSpeakerAVModel(cfg2.model)
+    out_shared = m_shared.apply(variables, **inputs)   # same params
+
+    for k in out_double:
+        np.testing.assert_allclose(
+            np.asarray(out_double[k], np.float32),
+            np.asarray(out_shared[k], np.float32),
+            rtol=1e-5, atol=1e-5, err_msg=f"mismatch in {k}")
+
+
+def test_relu_activation_variant_trains(tok):
+    """visual.activation='relu' (the reference's own relu_type option) builds,
+    has no PReLU alpha params, and trains a finite step."""
+    from multimodal_av_model_tpu.models import MultiSpeakerAVModel
+    from multimodal_av_model_tpu.train import MultiSpeakerTrainer
+
+    cfg = tiny_config()
+    cfg.model.decoder.vocab_size = tok.vocab_size
+    cfg.model.visual.activation = "relu"
+    trainer = MultiSpeakerTrainer(cfg, MultiSpeakerAVModel(cfg.model), tok)
+    inputs = _flagship_inputs()
+    B, L = 2, 2
+    rng = np.random.default_rng(1)
+    batch = {
+        "lip1": inputs["lip1"], "lip2": inputs["lip2"],
+        "audio": inputs["audio"], "mask1": inputs["mask1"],
+        "mask2": inputs["mask2"],
+        "lip1_lengths": inputs["lip1_len"], "lip2_lengths": inputs["lip2_len"],
+        "text1": rng.integers(5, tok.vocab_size, size=(B, L)).astype(np.int32),
+        "text1_lengths": np.full((B,), L, np.int32),
+        "text2": rng.integers(5, tok.vocab_size, size=(B, L)).astype(np.int32),
+        "text2_lengths": np.full((B,), L, np.int32),
+    }
+    state = trainer.init_state(0, batch)
+    flat = jax.tree_util.tree_flatten_with_path(state.params)[0]
+    assert not any("alpha" in "/".join(str(p) for p in path)
+                   for path, _ in flat), "relu variant must drop PReLU alphas"
+    state, metrics = trainer.train_step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+
+
+# -- real-text structured corpus (round-3 quality loops) -----------------------
+
+def test_real_text_source_uses_real_sentences(tok):
+    import os as _os
+
+    from multimodal_av_model_tpu.data.structured import (
+        RealTextStructuredSource,
+        load_reference_sentences,
+    )
+
+    if not _os.path.isdir("/root/reference/input_texts"):
+        pytest.skip("reference corpus not mounted")
+    sents = load_reference_sentences("/root/reference/input_texts")
+    assert len(sents) > 400          # the bundled 517 transcripts
+    src = RealTextStructuredSource(tok, sents, seed=0, max_chars=6)
+    pair = src.load_pair()
+    # Labels decode to real Korean text fragments (substrings of sentences).
+    text = tok.decode(list(pair["label1"]))
+    assert 1 <= len(text) <= 7
+    # Audio/lip lengths follow the per-token layout.
+    assert pair["lip1"].shape[0] == len(pair["label1"]) * src.frames_per_token
+    # Distinct tokens get distinct chords.
+    assert src._chord[5] != src._chord[6]
+
+
+def test_real_text_chord_table_covers_vocab(tok):
+    from multimodal_av_model_tpu.data.structured import RealTextStructuredSource
+
+    src = RealTextStructuredSource(tok, ["가나다"], seed=0)
+    assert len(src._chord) == tok.vocab_size
+    assert len(set(src._chord.values())) == tok.vocab_size  # injective
