@@ -117,9 +117,12 @@ class MultiSpeakerAVModel(nn.Module):
             # 3 at the audio pad) — so encode ONCE and reuse.  Halves audio
             # encoder FLOPs fwd+bwd; exact in eval, and in training the only
             # divergence is that the speakers share one dropout draw
-            # (config.py:ModelConfig.shared_audio_pass).
+            # (config.py:ModelConfig.shared_audio_pass).  The union keeps the
+            # pass symmetric in (mask1, mask2) and equals either mask whenever
+            # the pad structure is shared (the collate invariant).
             last_1, middle_1, _, _ = self.audio_encoder(
-                audio, sample_mask=(mask1 != 3), deterministic=not train
+                audio, sample_mask=((mask1 != 3) | (mask2 != 3)),
+                deterministic=not train
             )
             last = jnp.concatenate([last_1, last_1], 0)
             middle = jnp.concatenate([middle_1, middle_1], 0)
