@@ -403,6 +403,13 @@ if __name__ == "__main__":
     for a in sys.argv[1:]:
         if a.startswith("--side="):
             side = a.split("=", 1)[1]
+        elif a.startswith("--steps="):
+            # Deeper runs (e.g. --steps=200,400,800,1600,3200) extend the
+            # matched-step grid past the default 800 so the comparison also
+            # covers the regime where CER is well below ceiling.
+            EVAL_STEPS = tuple(int(s) for s in a.split("=", 1)[1].split(","))
+        elif a.startswith("--out="):
+            OUT = os.path.join(REPO, "benchmarks", a.split("=", 1)[1])
     if side == "reference":
         run_reference()
     elif side == "ours":
