@@ -134,9 +134,13 @@ def _write_partial(key, payload):
         "d_audio": D_AUDIO, "audio_layers": AUDIO_LAYERS, "fused": FUSED,
         "decode": "greedy", "metric": "ops.metrics.cer",
     }
-    last = str(max(EVAL_STEPS))
-    if ("reference" in data and "ours" in data
-            and last in data["reference"]["cer"] and last in data["ours"]["cer"]):
+    # Compare at the DEEPEST COMMON step, so a run where one side has a
+    # deeper grid (e.g. reference cut short by a host restart while ours
+    # continued) still yields a matched-step summary.
+    common = ({int(s) for s in data.get("reference", {}).get("cer", {})}
+              & {int(s) for s in data.get("ours", {}).get("cer", {})})
+    if common:
+        last = str(max(common))
         ref, ours = data["reference"], data["ours"]
         data["speedup"] = ref["sec_per_step"] / ours["sec_per_step"]
         # First checkpoint where ours reaches the reference's FINAL CER —
@@ -147,6 +151,7 @@ def _write_partial(key, payload):
         step_match = next((int(s) for s in sorted(ours["cer"], key=int)
                            if ours["cer"][s] <= target), None)
         data["summary"] = {
+            "matched_step": int(last),
             "cer_ours": ours["cer"][last], "cer_reference": ref["cer"][last],
             "ours_matches_or_beats": ours["cer"][last] <= ref["cer"][last],
             "wall_clock_ratio": data["speedup"],
