@@ -265,6 +265,12 @@ class MeshConfig:
 
     data_axis: int = -1               # -1 → all devices on the data axis
     model_axis: int = 1
+    fsdp: bool = False                # ZeRO-style sharding of params + Adam
+                                      # state over the data axis
+                                      # (parallel/fsdp.py); for reference-
+                                      # scale and larger audio towers where
+                                      # replicated optimizer state overflows
+                                      # HBM
 
 
 @dataclass

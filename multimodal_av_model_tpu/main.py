@@ -380,7 +380,8 @@ def main(argv: list[str] | None = None) -> None:
         print(f"process {jax.process_index()}: local batch "
               f"{cfg.train.batch_size} (train) / {cfg.train.eval_batch_size} (eval)")
 
-    trainer = MultiSpeakerTrainer(cfg, model, tokenizer, frozen_prefixes=frozen, mesh=mesh)
+    trainer = MultiSpeakerTrainer(cfg, model, tokenizer, frozen_prefixes=frozen,
+                                  mesh=mesh, fsdp=mesh is not None and cfg.mesh.fsdp)
 
     # With a mesh the trainer re-places batches with their mesh sharding;
     # a plain device_put in the prefetcher would be a wasted transfer.

@@ -9,9 +9,12 @@ from .mesh import (
     replicated,
     shard_batch,
 )
+from .fsdp import fsdp_param_specs, shard_params_fsdp
 from .tp import replicate_tree, shard_params, tp_param_specs
 
 __all__ = [
+    "fsdp_param_specs",
+    "shard_params_fsdp",
     "DATA_AXIS",
     "MODEL_AXIS",
     "batch_sharding",

@@ -142,6 +142,8 @@ class MultiSpeakerTrainer:
     tokenizer: Any
     frozen_prefixes: tuple[str, ...] = ()
     mesh: Any = None                # optional jax.sharding.Mesh
+    fsdp: bool = False              # ZeRO-style param+Adam-state sharding
+                                    # over the mesh data axis (parallel/fsdp.py)
 
     def __post_init__(self):
         self._tx = None
@@ -166,10 +168,15 @@ class MultiSpeakerTrainer:
         if self.mesh is not None:
             # Explicit placement over the mesh: wide Conformer layers shard
             # over the `model` axis (tensor parallel), everything else
-            # replicates; jit propagates from there.
-            from ..parallel import replicate_tree, shard_params
+            # replicates; jit propagates from there.  With fsdp=True each
+            # leaf's largest free dimension additionally shards over the
+            # `data` axis (ZeRO-3 via GSPMD, parallel/fsdp.py) — Adam's
+            # mu/nu below are zeros_like(params) and inherit the shardings,
+            # so optimizer state is sharded too.
+            from ..parallel import replicate_tree, shard_params, shard_params_fsdp
 
-            params = shard_params(self.mesh, params)
+            params = (shard_params_fsdp(self.mesh, params) if self.fsdp
+                      else shard_params(self.mesh, params))
             batch_stats = replicate_tree(self.mesh, batch_stats)
         self._tx = make_optimizer(self.config, params, self.frozen_prefixes)
         return TrainState(
