@@ -32,7 +32,16 @@ class SingleModalityTrainer:
     tokenizer: Any
 
     def __post_init__(self):
-        self._tx = optax.adam(self.config.train.learning_rate)
+        # Honor the same train.lr_schedule / grad_clip_norm knobs as the
+        # flagship trainer (they are documented on TrainConfig for every
+        # family; constant-LR Adam remains the reference-parity default).
+        from .trainer import make_lr_schedule
+
+        tcfg = self.config.train
+        tx = optax.adam(make_lr_schedule(tcfg, tcfg.learning_rate))
+        if tcfg.grad_clip_norm:
+            tx = optax.chain(optax.clip_by_global_norm(tcfg.grad_clip_norm), tx)
+        self._tx = tx
         self._step = None
         self._eval = None
 
