@@ -1,0 +1,173 @@
+#!/usr/bin/env python
+"""int8 weight-only serving: quality delta + serving throughput + bytes.
+
+Two arms, one JSON (benchmarks/quantized_serving.json):
+
+* **Quality** — the quality-ceiling acoustic model (d=192x6 Conformer CTC,
+  real AI-Hub transcript chord corpus, 2k steps) evaluated on 96 held-out
+  utterances with fp (bf16) weights vs per-channel int8 weights
+  (ops/quantize.py), greedy and prefix-beam(+bigram LM) decodes.  The claim
+  "int8 costs ~nothing" is measured, not assumed.
+* **Serving throughput + bytes** — the FLAGSHIP AV Transcriber (full
+  production config, 120-frame utterances) served at batch 32, fp vs
+  quantized, with the parameter-byte accounting (int8 is 2x smaller than
+  bf16 serving, 4x smaller than the reference's fp32 torch serving — the
+  reference has no quantization surface at all).
+
+Run on the TPU.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from audio_harness import (  # noqa: E402
+    BATCH, decode_hyps, load_tokenizer, pack, real_sentences, refs_of,
+    tiny_audio_cfg, utterances,
+)
+
+SEED = 0
+STEPS = 2000
+EVAL_UTTS = 96
+N_TRAIN_BATCHES = 120
+SERVE_BATCH = 32
+T_V = 120
+S = T_V * 534
+ROUNDS = 10
+
+
+def quality_arm(out):
+    import jax
+
+    from multimodal_av_model_tpu.ops.metrics import cer
+    from multimodal_av_model_tpu.ops.quantize import (
+        dequantize_tree, quantization_report, quantize_tree,
+    )
+    from multimodal_av_model_tpu.text.ngram_lm import (
+        mean_token_logprob, train_bigram_lm,
+    )
+    from audio_harness import train_audio_ctc
+
+    tok = load_tokenizer()
+    cfg = tiny_audio_cfg(tok, d_model=192, num_layers=6)
+    cfg.model.audio.num_heads = 4
+    cfg.model.audio.ffn_dim = 384
+    cfg.train.lr_schedule = "warmup_cosine"
+    cfg.train.warmup_steps = 300
+    cfg.train.decay_steps = STEPS
+
+    trainer, state, _loss = train_audio_ctc(
+        cfg, tok, seed=SEED, steps=STEPS, n_train_batches=N_TRAIN_BATCHES)
+
+    eval_utts = utterances(tok, seed=777, n=EVAL_UTTS, corpus="real")
+    refs = refs_of(eval_utts, tok)
+    seqs = [tok.encode(s) for s in real_sentences()]
+    lm = train_bigram_lm(seqs, tok.vocab_size)
+    lm_w = 0.3
+    bonus = -lm_w * mean_token_logprob(lm, seqs)
+
+    params = jax.device_get(state["params"])
+    qp, sc = quantize_tree(params, min_size=4096)
+    dq_params = dequantize_tree(qp, sc, dtype=jax.numpy.float32)
+    rep = quantization_report(params, qp, sc)
+
+    arm = {"model": "d192x6 Conformer CTC @ 2k steps (quality-ceiling config)",
+           "bytes": rep}
+    for name, p in (("fp", state["params"]), ("int8", dq_params)):
+        st = {"params": p, "batch_stats": state["batch_stats"]}
+        for algo, kw in (("greedy", {}),
+                         ("prefix_beam_lm", {"lm": lm, "lm_weight": lm_w,
+                                             "length_bonus": bonus})):
+            real = "prefix_beam" if algo == "prefix_beam_lm" else algo
+            hyps, _ = decode_hyps(trainer, st, pack(eval_utts), tok, real, cfg,
+                                  **kw)
+            arm.setdefault(name, {})[algo] = round(
+                cer(refs[: len(hyps)], hyps), 4)
+        print(f"quality[{name}]: {arm[name]}", flush=True)
+    arm["cer_delta_greedy"] = round(arm["int8"]["greedy"]
+                                    - arm["fp"]["greedy"], 4)
+    out["quality"] = arm
+
+
+def serving_arm(out):
+    import jax
+
+    from multimodal_av_model_tpu.config import Config
+    from multimodal_av_model_tpu.infer import Transcriber
+    from multimodal_av_model_tpu.models import MultiSpeakerAVModel
+    from multimodal_av_model_tpu.ops.quantize import tree_bytes
+    from multimodal_av_model_tpu.text import CharTokenizer
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tok = CharTokenizer(os.path.join(root, "assets", "tokenizer800.vocab"))
+    cfg = Config()
+    cfg.model.decoder.vocab_size = tok.vocab_size
+
+    rng = np.random.default_rng(0)
+    n = SERVE_BATCH
+    batch = {
+        "lip1": rng.uniform(size=(n, T_V, 1, 96, 96)).astype(np.float32),
+        "lip2": rng.uniform(size=(n, T_V, 1, 96, 96)).astype(np.float32),
+        "audio": (rng.standard_normal((n, S)) * 0.1).astype(np.float32),
+        "mask1": rng.integers(0, 3, size=(n, S)).astype(np.int32),
+        "mask2": rng.integers(0, 3, size=(n, S)).astype(np.int32),
+        "lip1_lengths": np.full((n,), T_V, np.int32),
+        "lip2_lengths": np.full((n,), T_V, np.int32),
+    }
+    model = MultiSpeakerAVModel(cfg.model, dtype=jax.numpy.bfloat16)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0),
+        batch["lip1"][:4], batch["lip2"][:4], batch["audio"][:4],
+        batch["mask1"][:4], batch["mask2"][:4],
+        batch["lip1_lengths"][:4], batch["lip2_lengths"][:4],
+    )
+    placed = {k: jax.device_put(v) for k, v in batch.items()}
+
+    arm = {"batch": n, "video_frames": T_V}
+    for name, t in (
+        ("fp_bf16", Transcriber(cfg, tok, variables)),
+        ("int8", Transcriber(cfg, tok, variables, quantize=True)),
+    ):
+        if name == "int8":
+            arm["param_mb_int8"] = round(
+                (tree_bytes(t.qvariables) + tree_bytes(t.scales)) / 1e6, 1)
+        else:
+            arm["param_mb_bf16"] = round(
+                sum(np.prod(np.shape(x)) * 2
+                    for x in jax.tree.leaves(variables)) / 1e6, 1)
+        for mode, use_beam in (("greedy", False), ("beam", True)):
+            texts = t.transcribe(placed, use_beam=use_beam)  # compile
+            assert len(texts) == n
+            t0 = time.perf_counter()
+            for _ in range(ROUNDS):
+                t.transcribe(placed, use_beam=use_beam)
+            dt = (time.perf_counter() - t0) / ROUNDS
+            arm[f"{name}_{mode}"] = {
+                "sec_per_batch": round(dt, 4),
+                "utterances_per_sec": round(n / dt, 2),
+                "rtf": round((n * S / 16000) / dt, 1),
+            }
+            print(f"serve[{name}/{mode}]: {arm[f'{name}_{mode}']}", flush=True)
+    out["serving"] = arm
+
+
+def main():
+    import jax
+
+    out = {"device": str(jax.devices()[0])}
+    serving_arm(out)
+    quality_arm(out)
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "quantized_serving.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -145,6 +145,11 @@ class DecodeConfig:
     # already-seen audio the encoder attends over per chunk.
     stream_chunk_seconds: float = 2.0
     stream_context_seconds: float = 8.0
+    # Serve with per-channel int8 weights (ops/quantize.py): halves param
+    # bytes vs bf16 (4x vs the reference's fp32 serving) at a measured-nil
+    # CER delta (benchmarks/quantized_serving.json).  Applies to --infer,
+    # --export and the AudioTranscriber path; training is never quantized.
+    quantize: bool = False
 
 
 @dataclass

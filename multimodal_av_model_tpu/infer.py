@@ -67,17 +67,34 @@ class Transcriber:
     tokenizer: Any
     variables: Any                      # {"params": ..., ["batch_stats": ...]}
     dtype: Any = None
+    quantize: bool = False              # int8 weight-only serving (ops/quantize.py)
+    quantize_min_size: int = 4096       # leave small kernels fp (noise bytes)
 
     def __post_init__(self):
         dtype = self.dtype or jax.numpy.bfloat16
         self.model = MultiSpeakerAVModel(self.config.model, dtype=dtype)
-        self._forward = jax.jit(
-            lambda v, *args: self.model.apply(v, *args)
-        )
+        if self.quantize:
+            from .ops.quantize import dequantize_variables, quantize_variables
+
+            self.qvariables, self.scales = quantize_variables(
+                self.variables, self.quantize_min_size)
+            # Serve from the int8 form only: the fp copy is dropped so host +
+            # device residency actually halves (the point of quantizing).
+            self.variables = None
+            self._forward = jax.jit(
+                lambda qv, sc, *args: self.model.apply(
+                    dequantize_variables(qv, sc, dtype), *args))
+            self._fwd_args = (self.qvariables, self.scales)
+        else:
+            self._forward = jax.jit(
+                lambda v, *args: self.model.apply(v, *args)
+            )
+            self._fwd_args = (self.variables,)
 
     @classmethod
     def from_checkpoint(cls, config: Config, tokenizer, path, example_batch: dict,
-                        dtype=None):
+                        dtype=None, quantize: bool = False,
+                        quantize_min_size: int = 4096):
         """Build params with a jitted init at the example batch's shapes, then
         load the checkpoint's params over them (template restore).
 
@@ -114,12 +131,13 @@ class Transcriber:
         if stats and "batch_stats" in variables:
             variables["batch_stats"] = serialization.from_state_dict(
                 variables["batch_stats"], stats)
-        return cls(config, tokenizer, variables, dtype)
+        return cls(config, tokenizer, variables, dtype, quantize,
+                   quantize_min_size)
 
     def transcribe(self, batch: dict, use_beam: bool = True):
         """Batch dict (collate_pairs layout) → list of per-speaker texts."""
         out = self._forward(
-            self.variables,
+            *self._fwd_args,
             batch["lip1"], batch["lip2"], batch["audio"],
             batch["mask1"], batch["mask2"],
             batch["lip1_lengths"], batch["lip2_lengths"],
@@ -167,9 +185,19 @@ def export_transcriber(t: Transcriber, out_dir: str, example_batch: dict,
     os.makedirs(out_dir, exist_ok=True)
     lm = _fusion_lm(t.config)
     cfg = t.config
+    quantized = bool(getattr(t, "quantize", False))
+
+    def _apply(variables, *args):
+        if quantized:
+            from .ops.quantize import dequantize_variables
+
+            variables = dequantize_variables(
+                variables["qvariables"], variables["scales"],
+                t.dtype or jax.numpy.bfloat16)
+        return t.model.apply(variables, *args)
 
     def serve(variables, lm_table, lip1, lip2, audio, mask1, mask2, l1, l2):
-        out = t.model.apply(variables, lip1, lip2, audio, mask1, mask2, l1, l2)
+        out = _apply(variables, lip1, lip2, audio, mask1, mask2, l1, l2)
         blank = cfg.model.decoder.blank_id
         if not use_beam:
             ids1, len1 = ctc_greedy_decode(out["log_probs1"], out["input_lengths1"], blank)
@@ -201,16 +229,18 @@ def export_transcriber(t: Transcriber, out_dir: str, example_batch: dict,
                              np.asarray(example_batch[k]).dtype)
         for k in keys
     ]
+    var_arg = ({"qvariables": t.qvariables, "scales": t.scales}
+               if quantized else t.variables)
     var_struct = jax.tree.map(
         lambda x: jax.ShapeDtypeStruct(jnp.shape(x), jnp.asarray(x).dtype),
-        t.variables)
+        var_arg)
     lm_struct = (None if lm is None
                  else jax.ShapeDtypeStruct(lm.shape, np.float32))
     exp = jax_export.export(jax.jit(serve))(var_struct, lm_struct, *batch_structs)
 
     with open(os.path.join(out_dir, "model.stablehlo"), "wb") as f:
         f.write(exp.serialize())
-    save_checkpoint(os.path.join(out_dir, "params.ckpt"), t.variables)
+    save_checkpoint(os.path.join(out_dir, "params.ckpt"), var_arg)
     if lm is not None:
         np.save(os.path.join(out_dir, "lm.npy"), np.asarray(lm))
     import shutil
@@ -225,6 +255,7 @@ def export_transcriber(t: Transcriber, out_dir: str, example_batch: dict,
             "use_beam": use_beam,
             "algorithm": cfg.decode.algorithm,
             "has_lm": lm is not None,
+            "quantized": quantized,
         }, f, indent=2)
 
 
@@ -279,13 +310,28 @@ class AudioTranscriber:
     tokenizer: Any
     variables: Any
     dtype: Any = None
+    quantize: bool = False
+    quantize_min_size: int = 4096
 
     def __post_init__(self):
-        self.model = AudioOnlyCTC(self.config.model, dtype=self.dtype or jax.numpy.bfloat16)
-        self._forward = jax.jit(lambda v, a, m: self.model.apply(v, a, m))
+        dtype = self.dtype or jax.numpy.bfloat16
+        self.model = AudioOnlyCTC(self.config.model, dtype=dtype)
+        if self.quantize:
+            from .ops.quantize import dequantize_variables, quantize_variables
+
+            self.qvariables, self.scales = quantize_variables(
+                self.variables, self.quantize_min_size)
+            self.variables = None
+            self._forward = jax.jit(
+                lambda qv, sc, a, m: self.model.apply(
+                    dequantize_variables(qv, sc, dtype), a, m))
+            self._fwd_args = (self.qvariables, self.scales)
+        else:
+            self._forward = jax.jit(lambda v, a, m: self.model.apply(v, a, m))
+            self._fwd_args = (self.variables,)
 
     def transcribe(self, audio, sample_mask=None, use_beam: bool = True):
-        log_probs, lengths = self._forward(self.variables, audio, sample_mask)
+        log_probs, lengths = self._forward(*self._fwd_args, audio, sample_mask)
         ids, out_len = decode_ids(self.config, log_probs, lengths, use_beam)
         ids, out_len = np.asarray(ids), np.asarray(out_len)
         return [

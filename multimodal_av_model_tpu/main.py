@@ -131,7 +131,14 @@ def run_infer(cfg, tokenizer, synthetic: bool, export_dir: str = "") -> None:
 
     dtype = {"bfloat16": jax.numpy.bfloat16, "float32": jax.numpy.float32}[cfg.model.dtype]
     first = next(iter(val_factory()))
-    transcriber = Transcriber.from_checkpoint(cfg, tokenizer, ckpt, first, dtype=dtype)
+    transcriber = Transcriber.from_checkpoint(cfg, tokenizer, ckpt, first,
+                                              dtype=dtype,
+                                              quantize=cfg.decode.quantize)
+    if cfg.decode.quantize:
+        from .ops.quantize import tree_bytes
+
+        qb = tree_bytes(transcriber.qvariables) + tree_bytes(transcriber.scales)
+        print(f"int8 weight-only serving: {qb / 1e6:.1f} MB of parameters")
     if export_dir:
         from .infer import export_transcriber
 
@@ -173,6 +180,7 @@ def run_stream(cfg, tokenizer, wav_path: str) -> None:
         cfg, tokenizer, None, dtype=dtype,
         chunk_seconds=cfg.decode.stream_chunk_seconds,
         context_seconds=cfg.decode.stream_context_seconds,
+        quantize=cfg.decode.quantize,
     )
 
     # Template restore: init params at the streaming window shape, then load
@@ -192,6 +200,8 @@ def run_stream(cfg, tokenizer, wav_path: str) -> None:
     # silently mispairs if traversal order ever differs).
     s.variables = {"params": serialization.from_state_dict(
         template["params"], params)}
+    if cfg.decode.quantize:
+        s.quantize_weights()
 
     audio, sr = read_wav(wav_path)
     if sr != cfg.data.sample_rate:

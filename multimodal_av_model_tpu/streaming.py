@@ -76,6 +76,8 @@ class StreamingAudioTranscriber:
     # else falls back to exact greedy collapse.
     algorithm: str | None = None
     beam_capacity: int = 512            # transcript tokens per stream segment
+    quantize: bool = False              # int8 weight-only serving (ops/quantize.py)
+    quantize_min_size: int = 4096
 
     def __post_init__(self):
         fe = self.config.model.frontend
@@ -95,17 +97,37 @@ class StreamingAudioTranscriber:
             self._lm = _fusion_lm(self.config)
 
         if self.forward_fn is None:
-            model = AudioOnlyCTC(self.config.model,
-                                 dtype=self.dtype or jnp.bfloat16)
+            dtype = self.dtype or jnp.bfloat16
+            model = AudioOnlyCTC(self.config.model, dtype=dtype)
 
-            def forward(variables, window, sample_mask):
-                log_probs, _ = model.apply(variables, window, sample_mask)
-                return log_probs
+            if self.quantize:
+                from .ops.quantize import dequantize_variables
+
+                def forward(variables, window, sample_mask):
+                    v = dequantize_variables(*variables, dtype)
+                    log_probs, _ = model.apply(v, window, sample_mask)
+                    return log_probs
+            else:
+                def forward(variables, window, sample_mask):
+                    log_probs, _ = model.apply(variables, window, sample_mask)
+                    return log_probs
 
             self.forward_fn = forward
         self._forward = jax.jit(self.forward_fn)
+        if self.quantize and self.variables is not None:
+            self.quantize_weights()
 
         self.reset()
+
+    def quantize_weights(self) -> None:
+        """Convert ``variables`` to the int8 form the quantized forward
+        expects (ops/quantize.py).  Called automatically when the
+        constructor receives variables; call manually after assigning
+        ``variables`` post-construction (the ``run_stream`` restore path)."""
+        from .ops.quantize import quantize_variables
+
+        self.variables = quantize_variables(self.variables,
+                                            self.quantize_min_size)
 
     # -- state ----------------------------------------------------------------
 

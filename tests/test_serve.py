@@ -1,0 +1,140 @@
+"""Online serving: dynamic batching + HTTP front end (serve.py)."""
+
+import io
+import json
+import time
+import urllib.request
+import wave as wave_mod
+
+import numpy as np
+import pytest
+
+from multimodal_av_model_tpu.serve import AudioService, DynamicBatcher
+
+
+def test_batcher_coalesces_concurrent_requests():
+    seen = []
+
+    def infer(items):
+        seen.append(len(items))
+        time.sleep(0.02)            # device-busy window for coalescing
+        return [x * 10 for x in items]
+
+    b = DynamicBatcher(infer, max_batch=8, max_wait_ms=30)
+    futs = [b.submit(i) for i in range(20)]
+    results = [f.result(5) for f in futs]
+    b.close()
+    assert results == [i * 10 for i in range(20)]
+    assert sum(seen) == 20
+    # while batch k runs, k+1's requests queue up -> later batches coalesce
+    assert max(seen) > 1
+    assert b.stats.requests == 20 and b.stats.batches == len(seen)
+
+
+def test_batcher_respects_max_batch():
+    sizes = []
+
+    def infer(items):
+        sizes.append(len(items))
+        return items
+
+    b = DynamicBatcher(infer, max_batch=4, max_wait_ms=200)
+    futs = [b.submit(i) for i in range(10)]
+    for f in futs:
+        f.result(5)
+    b.close()
+    assert max(sizes) <= 4
+
+
+def test_batcher_propagates_errors_and_keeps_serving():
+    def infer(items):
+        if any(x < 0 for x in items):
+            raise ValueError("bad item")
+        return items
+
+    b = DynamicBatcher(infer, max_batch=1, max_wait_ms=1)
+    with pytest.raises(ValueError):
+        b.submit(-1).result(5)
+    assert b.submit(7).result(5) == 7
+    b.close()
+
+
+class FakeTranscriber:
+    """Stands in for infer.AudioTranscriber: returns per-row checksums so the
+    test can verify request<->result pairing through pad rows."""
+
+    def __init__(self):
+        self.batch_shapes = []
+
+    def transcribe(self, audio, mask, use_beam=True):
+        self.batch_shapes.append(audio.shape)
+        return [f"{audio[i].sum():.3f}:{int(mask[i].sum())}"
+                for i in range(audio.shape[0])]
+
+
+def test_audio_service_static_shape_and_pairing():
+    ft = FakeTranscriber()
+    svc = AudioService(ft, max_batch=4, max_seconds=0.01, max_wait_ms=5)
+    S = svc.samples
+    waves = [np.full((min(S, 40 + 13 * i),), 0.01 * (i + 1), np.float32)
+             for i in range(9)]
+    futs = [svc.submit(w) for w in waves]
+    got = [f.result(5) for f in futs]
+    svc.close()
+    # every device call used the ONE static shape
+    assert set(ft.batch_shapes) == {(4, S)}
+    for w, text in zip(waves, got):
+        assert text == f"{w.sum():.3f}:{len(w)}"
+
+
+def test_audio_service_resamples():
+    ft = FakeTranscriber()
+    svc = AudioService(ft, max_batch=2, max_seconds=0.02, max_wait_ms=1)
+    wave8k = np.ones((80,), np.float32)          # 10 ms at 8 kHz
+    text = svc.transcribe(wave8k, rate=8000)
+    svc.close()
+    n_valid = int(text.split(":")[1])
+    assert abs(n_valid - 160) <= 2               # ~10 ms at 16 kHz
+
+
+def _wav_bytes(wave_f32, rate=16000):
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        pcm = np.clip(wave_f32 * 32767, -32768, 32767).astype(np.int16)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def test_http_server_round_trip():
+    from multimodal_av_model_tpu.serve import serve_http
+
+    ft = FakeTranscriber()
+    svc = AudioService(ft, max_batch=2, max_seconds=0.05, max_wait_ms=1)
+    server = serve_http(svc, port=0, block=False)
+    port = server.server_address[1]
+    try:
+        wav = _wav_bytes(np.ones((400,), np.float32) * 0.5)
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/transcribe", data=wav, method="POST")
+        with urllib.request.urlopen(req, timeout=10) as r:
+            out = json.load(r)
+        assert ":" in out["text"] and out["latency_ms"] >= 0
+
+        raw = np.ones((320,), np.float32).tobytes()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/transcribe", data=raw, method="POST",
+            headers={"X-Sample-Rate": "16000"})
+        with urllib.request.urlopen(req, timeout=10) as r:
+            out2 = json.load(r)
+        assert out2["text"].endswith(":320")
+
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{port}/healthz", timeout=10) as r:
+            health = json.load(r)
+        assert health["ok"] and health["requests"] >= 2
+    finally:
+        server.shutdown()
+        svc.close()
