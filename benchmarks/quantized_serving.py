@@ -159,11 +159,19 @@ def serving_arm(out):
 def main():
     import jax
 
-    out = {"device": str(jax.devices()[0])}
-    serving_arm(out)
-    quality_arm(out)
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "quantized_serving.json")
+    # Arms are selectable (--serving / --quality) and merge into the existing
+    # JSON so a contended arm can be re-measured alone.
+    out = {}
+    if os.path.isfile(path):
+        out = json.load(open(path))
+    out["device"] = str(jax.devices()[0])
+    which = set(sys.argv[1:]) or {"--serving", "--quality"}
+    if "--serving" in which:
+        serving_arm(out)
+    if "--quality" in which:
+        quality_arm(out)
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))

@@ -160,13 +160,15 @@ def run_stream(cfg, tokenizer, wav_path: str) -> None:
     """Long-form serving (`--stream=file.wav`): chunked audio-only
     transcription at ONE static compiled shape (streaming.py) — unbounded
     input never recompiles and latency is bounded by the chunk length.
+    `--stream=a.wav,b.wav,...` runs the files as CONCURRENT streams through
+    a batched ``StreamingPool`` (one `[n, window]` forward per tick).
     Loads an audio-family checkpoint (``--family=audio`` training) from
     ``train.checkpoint_dir``."""
     import jax
 
     from .data.audio_io import read_wav, resample
     from .models import AudioOnlyCTC
-    from .streaming import StreamingAudioTranscriber
+    from .streaming import StreamingAudioTranscriber, StreamingPool
     from .train.checkpoints import restore_checkpoint
 
     ckpt = os.path.join(cfg.train.checkpoint_dir, "best_wer.ckpt")
@@ -176,12 +178,21 @@ def run_stream(cfg, tokenizer, wav_path: str) -> None:
         raise SystemExit(f"no checkpoint under {cfg.train.checkpoint_dir}")
 
     dtype = {"bfloat16": jax.numpy.bfloat16, "float32": jax.numpy.float32}[cfg.model.dtype]
-    s = StreamingAudioTranscriber(
-        cfg, tokenizer, None, dtype=dtype,
-        chunk_seconds=cfg.decode.stream_chunk_seconds,
-        context_seconds=cfg.decode.stream_context_seconds,
-        quantize=cfg.decode.quantize,
-    )
+    paths = [p for p in wav_path.split(",") if p]
+    if len(paths) > 1:
+        s = StreamingPool(
+            cfg, tokenizer, None, dtype=dtype, max_streams=len(paths),
+            chunk_seconds=cfg.decode.stream_chunk_seconds,
+            context_seconds=cfg.decode.stream_context_seconds,
+            quantize=cfg.decode.quantize,
+        )
+    else:
+        s = StreamingAudioTranscriber(
+            cfg, tokenizer, None, dtype=dtype,
+            chunk_seconds=cfg.decode.stream_chunk_seconds,
+            context_seconds=cfg.decode.stream_context_seconds,
+            quantize=cfg.decode.quantize,
+        )
 
     # Template restore: init params at the streaming window shape, then load
     # the checkpoint leaves over the template's structure.
@@ -203,12 +214,33 @@ def run_stream(cfg, tokenizer, wav_path: str) -> None:
     if cfg.decode.quantize:
         s.quantize_weights()
 
-    audio, sr = read_wav(wav_path)
-    if sr != cfg.data.sample_rate:
-        audio = resample(audio, sr, cfg.data.sample_rate)
+    def load(path):
+        audio, sr = read_wav(path)
+        if sr != cfg.data.sample_rate:
+            audio = resample(audio, sr, cfg.data.sample_rate)
+        return audio
+
+    block = s.chunk_samples
+    if len(paths) > 1:
+        audios = [load(p) for p in paths]
+        sids = [s.open() for _ in paths]
+        print(f"streaming {len(paths)} concurrent files with {ckpt}, "
+              f"chunk={block / cfg.data.sample_rate:.1f}s", flush=True)
+        for i in range(0, max(a.shape[0] for a in audios), block):
+            for sid, audio in zip(sids, audios):
+                if i < audio.shape[0]:
+                    piece = s.feed(sid, audio[i : i + block])
+                    if piece:
+                        print(f"[{paths[sid]}] {piece}", flush=True)
+        for sid, path in zip(sids, paths):
+            tail = s.flush(sid)
+            if tail:
+                print(f"[{path}] {tail}", flush=True)
+        return
+
+    audio = load(wav_path)
     print(f"streaming {wav_path} ({audio.shape[0] / cfg.data.sample_rate:.1f} s) "
           f"with {ckpt}, chunk={s.chunk_samples / cfg.data.sample_rate:.1f}s")
-    block = s.chunk_samples
     for i in range(0, audio.shape[0], block):
         piece = s.feed(audio[i : i + block])
         if piece:

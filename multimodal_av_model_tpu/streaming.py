@@ -278,3 +278,200 @@ class StreamingAudioTranscriber:
     def _emit(self, ids: list[int]) -> str:
         self._ids.extend(ids)
         return self.tokenizer.decode(ids) if ids else ""
+
+
+@dataclasses.dataclass
+class StreamingPool:
+    """N concurrent live streams sharing ONE static device batch.
+
+    ``StreamingAudioTranscriber`` serves one stream per ``[1, window]``
+    compile; a transcription service with many simultaneous callers would
+    pay N forwards for N streams.  This pool runs up to ``max_streams``
+    independent streams through a single ``[max_streams, window]`` jitted
+    forward — real-time feeds produce chunks at the same rate, so their
+    decode ticks coincide and batch for free (TPU serving economics, same
+    argument as ``serve.DynamicBatcher``).
+
+    Per-stream semantics are EXACTLY the single-stream transcriber's greedy
+    path (same window/context/mask construction, same cross-chunk collapse
+    carry — verified equal in tests/test_streaming_pool.py); streams only
+    share the forward, never state.  Emission is greedy: the per-stream
+    carried-beam decode stays a single-stream feature (its state advance is
+    sequential per stream; batching it would serialize the pool).
+
+        pool = StreamingPool(cfg, tok, variables, max_streams=8)
+        a, b = pool.open(), pool.open()
+        pool.feed(a, mic_a_block); pool.feed(b, mic_b_block)
+        ...
+        print(pool.flush(a))        # stream a ends; slot is reusable
+    """
+
+    config: Config
+    tokenizer: Any
+    variables: Any
+    max_streams: int = 8
+    chunk_seconds: float = 2.0
+    context_seconds: float = 8.0
+    dtype: Any = None
+    quantize: bool = False              # int8 weight-only (ops/quantize.py)
+    quantize_min_size: int = 4096
+
+    def __post_init__(self):
+        fe = self.config.model.frontend
+        acfg = self.config.model.audio
+        sr = fe.sample_rate
+        self._spf = fe.hop_length * acfg.subsample_factor
+        self._chunk = _snap(int(self.chunk_seconds * sr), self._spf)
+        self._ctx = _snap(int(self.context_seconds * sr), self._spf)
+        self._window = self._ctx + self._chunk
+
+        dtype = self.dtype or jnp.bfloat16
+        model = AudioOnlyCTC(self.config.model, dtype=dtype)
+        if self.quantize:
+            from .ops.quantize import (
+                dequantize_variables, quantize_variables,
+            )
+
+            if self.variables is not None:
+                self.variables = quantize_variables(self.variables,
+                                                    self.quantize_min_size)
+
+            def forward_ids(variables, windows, masks):
+                v = dequantize_variables(*variables, dtype)
+                log_probs, _ = model.apply(v, windows, masks)
+                return jnp.argmax(log_probs, axis=-1)
+        else:
+            def forward_ids(variables, windows, masks):
+                log_probs, _ = model.apply(variables, windows, masks)
+                return jnp.argmax(log_probs, axis=-1)
+
+        # argmax on device: the pool reads back [B, frames] int32, not
+        # [B, frames, V] log-probs.
+        self._forward_ids = jax.jit(forward_ids)
+        B = self.max_streams
+        self._active = [False] * B
+        self._buffer = [None] * B
+        self._context = [None] * B
+        self._prev_raw = [0] * B
+        self._pending: list[list[int]] = [[] for _ in range(B)]
+        self._texts: list[list[int]] = [[] for _ in range(B)]
+
+    @property
+    def window_samples(self) -> int:
+        return self._window
+
+    @property
+    def chunk_samples(self) -> int:
+        return self._chunk
+
+    def quantize_weights(self) -> None:
+        """int8-convert ``variables`` after a post-construction restore
+        (mirrors ``StreamingAudioTranscriber.quantize_weights``)."""
+        from .ops.quantize import quantize_variables
+
+        self.variables = quantize_variables(self.variables,
+                                            self.quantize_min_size)
+
+    # -- stream lifecycle ------------------------------------------------------
+
+    def open(self) -> int:
+        """Claim a free slot; returns the stream id."""
+        for sid in range(self.max_streams):
+            if not self._active[sid]:
+                self._active[sid] = True
+                self._buffer[sid] = np.zeros((0,), np.float32)
+                self._context[sid] = np.zeros((0,), np.float32)
+                self._prev_raw[sid] = self.config.model.decoder.blank_id
+                self._pending[sid] = []
+                self._texts[sid] = []
+                return sid
+        raise RuntimeError(f"all {self.max_streams} stream slots busy")
+
+    def close(self, sid: int) -> None:
+        self._active[sid] = False
+
+    @property
+    def active_streams(self) -> int:
+        return sum(self._active)
+
+    # -- feeding ---------------------------------------------------------------
+
+    def feed(self, sid: int, samples) -> str:
+        """Append audio to stream ``sid``; batch-decode every stream that has
+        a complete chunk ready; return ``sid``'s newly emitted text."""
+        if not self._active[sid]:
+            raise ValueError(f"stream {sid} is not open")
+        samples = np.asarray(samples, np.float32).reshape(-1)
+        self._buffer[sid] = np.concatenate([self._buffer[sid], samples])
+        while self._buffer[sid].shape[0] >= self._chunk:
+            self._step()
+        return self._drain(sid)
+
+    def flush(self, sid: int) -> str:
+        """Decode ``sid``'s buffered tail, return all remaining text, free
+        the slot."""
+        while self._active[sid] and self._buffer[sid].shape[0] >= self._chunk:
+            self._step()
+        n = self._buffer[sid].shape[0]
+        if n:
+            self._step(flush_sid=sid)
+        text = self._drain(sid)
+        self.close(sid)
+        return text
+
+    def text(self, sid: int) -> str:
+        """Everything emitted on ``sid`` since ``open``."""
+        return self.tokenizer.decode(self._texts[sid])
+
+    # -- internals -------------------------------------------------------------
+
+    def _drain(self, sid: int) -> str:
+        out, self._pending[sid] = self._pending[sid], []
+        return self.tokenizer.decode(out) if out else ""
+
+    def _step(self, flush_sid: int | None = None) -> None:
+        """One batched decode tick: every active stream with a full chunk
+        (plus ``flush_sid``'s partial tail) advances one chunk together."""
+        B, W = self.max_streams, self._window
+        windows = np.zeros((B, W), np.float32)
+        masks = np.zeros((B, W), bool)
+        ready: list[tuple[int, int]] = []            # (sid, valid_samples)
+        for sid in range(B):
+            if not self._active[sid]:
+                continue
+            buffered = self._buffer[sid].shape[0]
+            if buffered >= self._chunk:
+                valid = self._chunk
+            elif sid == flush_sid and buffered:
+                valid = buffered
+            else:
+                continue
+            chunk = np.pad(self._buffer[sid][:valid],
+                           (0, self._chunk - valid))
+            self._buffer[sid] = self._buffer[sid][valid:]
+            ctx = self._context[sid]
+            pad = self._ctx - ctx.shape[0]
+            windows[sid] = np.concatenate(
+                [np.zeros((pad,), np.float32), ctx, chunk])
+            masks[sid, pad : self._ctx + valid] = True
+            tail = np.concatenate([ctx, chunk[:valid]])
+            self._context[sid] = (tail[-self._ctx:] if self._ctx
+                                  else tail[:0])
+            ready.append((sid, valid))
+        if not ready:
+            return
+
+        raw = np.asarray(self._forward_ids(self.variables, windows,
+                                           jnp.asarray(masks)))
+        blank = self.config.model.decoder.blank_id
+        start = self._ctx // self._spf
+        for sid, valid in ready:
+            end = (self._ctx + valid + self._spf - 1) // self._spf
+            prev = self._prev_raw[sid]
+            for tok in raw[sid, start:end]:
+                tok = int(tok)
+                if tok != prev and tok != blank:
+                    self._pending[sid].append(tok)
+                    self._texts[sid].append(tok)
+                prev = tok
+            self._prev_raw[sid] = prev
