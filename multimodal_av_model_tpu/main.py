@@ -156,6 +156,55 @@ def run_infer(cfg, tokenizer, synthetic: bool, export_dir: str = "") -> None:
     print(f"transcribed {n} pairs")
 
 
+def run_eval(cfg, tokenizer, synthetic: bool) -> None:
+    """Metrics entry (`--eval`): checkpoint → eval-split loss/WER/CER report.
+
+    The reference's only quality surface is ``trainer.evaluate`` buried in
+    the train loop (reference model/trainer.py:179-252, avg WER printed at
+    epoch end); this exposes it standalone, with CER (the project's north
+    star — jiwer's space-split WER is word-level on char vocab) and both
+    greedy and beam decodes.  Prints one JSON line, so it scripts."""
+    import json
+
+    import jax
+
+    from .models import MultiSpeakerAVModel
+    from .train import MultiSpeakerTrainer
+    from .train.checkpoints import restore_checkpoint
+
+    _, val_factory = build_data(cfg, tokenizer, synthetic, device_put=False)
+    ckpt = os.path.join(cfg.train.checkpoint_dir, "best_wer.ckpt")
+    if not os.path.isfile(ckpt):
+        ckpt = os.path.join(cfg.train.checkpoint_dir, "last.ckpt")
+    if not os.path.isfile(ckpt):
+        raise SystemExit(f"no checkpoint under {cfg.train.checkpoint_dir}")
+
+    dtype = {"bfloat16": jax.numpy.bfloat16, "float32": jax.numpy.float32}[cfg.model.dtype]
+    model = MultiSpeakerAVModel(cfg.model, dtype=dtype)
+    trainer = MultiSpeakerTrainer(cfg, model, tokenizer)
+    first = next(iter(val_factory()))
+    state = trainer.init_state(cfg.data.seed, first)
+    # Template restore (never by leaf order) into the live TrainState.
+    payload = restore_checkpoint(
+        ckpt, template={"state": jax.device_get(state), "epoch": 0})
+    state = payload["state"].replace(rng=state.rng)
+
+    report = {"checkpoint": ckpt, "epoch": int(payload.get("epoch", 0)),
+              "decode": {}}
+    for name, use_beam in (("greedy", False),
+                           (cfg.decode.algorithm, True)):
+        loss, wer, cer, per_speaker = trainer.evaluate(
+            val_factory(), state, use_beam=use_beam)
+        # Loss is per-pass: with --synthetic the val factory re-draws pairs,
+        # so each decode scores its own draw (real-data val sets are fixed).
+        report["decode"][name] = {"eval_loss": round(float(loss), 4),
+                                  "wer": round(float(wer), 4),
+                                  "cer": round(float(cer), 4)}
+        print(f"[eval] {name}: loss={loss:.4f} wer={wer:.4f} cer={cer:.4f}",
+              flush=True)
+    print(json.dumps(report))
+
+
 def run_stream(cfg, tokenizer, wav_path: str) -> None:
     """Long-form serving (`--stream=file.wav`): chunked audio-only
     transcription at ONE static compiled shape (streaming.py) — unbounded
@@ -343,7 +392,8 @@ def main(argv: list[str] | None = None) -> None:
     argv = list(sys.argv[1:] if argv is None else argv)
     synthetic = "--synthetic" in argv
     infer = "--infer" in argv
-    argv = [a for a in argv if a not in ("--synthetic", "--infer")]
+    evaluate = "--eval" in argv
+    argv = [a for a in argv if a not in ("--synthetic", "--infer", "--eval")]
     family = "av"
     stream_wav = None
     export_dir = ""
@@ -377,6 +427,11 @@ def main(argv: list[str] | None = None) -> None:
 
     if stream_wav is not None:
         run_stream(cfg, tokenizer, stream_wav)
+        return
+    if evaluate:
+        if family != "av":
+            raise SystemExit("--eval currently scores the flagship (av) family")
+        run_eval(cfg, tokenizer, synthetic)
         return
     if infer:
         if family != "av":

@@ -77,6 +77,21 @@ def test_real_data_av_end_to_end(tmp_path, capsys, device_preprocess):
     out = capsys.readouterr().out
     assert "speaker1:" in out and "transcribed" in out
 
+    # Metrics surface: --eval prints a scriptable JSON report with both
+    # greedy and production-decode WER/CER from the same checkpoint.
+    import json
+
+    main(args + ["--eval"])
+    out = capsys.readouterr().out
+    report = json.loads(out.strip().splitlines()[-1])
+    # --eval prefers best_wer.ckpt, which may be either epoch.
+    assert report["epoch"] in (1, 2) and "greedy" in report["decode"]
+    assert report["checkpoint"].endswith("best_wer.ckpt")
+    assert "prefix_beam" in report["decode"]
+    for algo in report["decode"].values():
+        assert 0.0 <= algo["cer"] and 0.0 <= algo["wer"]
+        assert "eval_loss" in algo
+
 
 @pytest.mark.slow
 def test_ssl_pretrain_graft_finetune(tmp_path, capsys):
