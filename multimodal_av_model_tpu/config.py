@@ -253,7 +253,23 @@ class TrainConfig:
                                       # training on silently (the reference
                                       # swallows batch errors,
                                       # model/trainer.py:162-164)
+    async_dispatch: bool = True       # never block the step loop on a
+                                      # metrics readback: fold metrics into
+                                      # device-side running sums and sync
+                                      # only at log points / epoch end
+                                      # (check_finite granularity widens to
+                                      # per-sync; it still raises before
+                                      # any checkpoint is written)
     checkpoint_dir: str = "checkpoints"
+    async_checkpoint: bool = False    # write epoch checkpoints on a
+                                      # background thread (overlap D2H +
+                                      # serialization + disk with the next
+                                      # epoch); fit() drains at exit
+    handle_signals: bool = True       # SIGTERM/SIGINT during fit → finish
+                                      # the in-flight step, save last.ckpt,
+                                      # return cleanly (preemptible-pool
+                                      # eviction protocol); resume redoes
+                                      # the interrupted epoch
     tensorboard_dir: str = ""         # non-empty → per-epoch TensorBoard
                                       # scalars (tensorboardX, no-op if the
                                       # package is absent)
@@ -285,6 +301,17 @@ class Config:
     train: TrainConfig = field(default_factory=TrainConfig)
     decode: DecodeConfig = field(default_factory=DecodeConfig)
     mesh: MeshConfig = field(default_factory=MeshConfig)
+    compile_cache_dir: str = ""       # non-empty → persistent XLA
+                                      # compilation cache for every CLI entry
+                                      # point: relaunches, preemption-resumes
+                                      # and serving restarts reuse compiled
+                                      # step functions
+                                      # (runtime/compile_cache.py).  Opt-in:
+                                      # local PJRT backends support it, but
+                                      # proxy/tunneled backends (like this
+                                      # dev box's) stall on the cache probe
+                                      # and persist nothing — see the module
+                                      # docstring before enabling.
 
 
 def _set_dotted(obj: Any, path: str, raw: str) -> None:

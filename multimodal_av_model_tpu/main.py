@@ -328,13 +328,26 @@ def run_ssl_pretrain(cfg, tokenizer, synthetic: bool) -> None:
         start_epoch = int(resumed["epoch"]) + 1
         print(f"resuming ssl from {ckpts.last} at epoch {start_epoch}")
         state = dict(resumed["state"])
-    for epoch in range(start_epoch, cfg.train.max_epochs + 1):
-        # Span schedule is a pure function of (seed, epoch) so a resumed run
-        # replays the masks it would have drawn uninterrupted.
-        state = ssl.fit(state, train_factory(), log_every=cfg.train.log_every,
-                        span_rng=np.random.default_rng(cfg.data.seed * 1009 + epoch))
-        print(f"[ssl epoch {epoch}] infonce={state['last_loss']:.4f}")
-        save_checkpoint(ckpts.last, {"state": snapshot(state), "epoch": epoch})
+    from .train.preempt import GracefulShutdown
+
+    with GracefulShutdown(enable=cfg.train.handle_signals) as stop:
+        for epoch in range(start_epoch, cfg.train.max_epochs + 1):
+            # Span schedule is a pure function of (seed, epoch) so a resumed
+            # run replays the masks it would have drawn uninterrupted.
+            state = ssl.fit(
+                state, train_factory(), log_every=cfg.train.log_every,
+                span_rng=np.random.default_rng(cfg.data.seed * 1009 + epoch),
+                stop=stop)
+            if stop.requested:
+                # Preempted mid-epoch: full-state snapshot as epoch-1 so the
+                # standard resume redoes this epoch with intact Adam moments.
+                save_checkpoint(ckpts.last,
+                                {"state": snapshot(state), "epoch": epoch - 1})
+                print(f"preempted: saved {ckpts.last} mid-epoch {epoch} "
+                      f"(resume will redo the epoch)")
+                break
+            print(f"[ssl epoch {epoch}] infonce={state['last_loss']:.4f}")
+            save_checkpoint(ckpts.last, {"state": snapshot(state), "epoch": epoch})
 
 
 def run_single_modality(cfg, tokenizer, family: str, synthetic: bool) -> None:
@@ -418,6 +431,15 @@ def main(argv: list[str] | None = None) -> None:
 
     cfg = from_flat_overrides(argv)
     np.random.seed(cfg.data.seed)
+
+    # Persistent XLA compilation cache (opt-in, compile_cache_dir=<dir>):
+    # relaunches, preemption-resumes, and serving restarts reuse compiled
+    # step functions.  Must run before any jit trace below; see
+    # runtime/compile_cache.py for why this is not default-on.
+    if cfg.compile_cache_dir:
+        from .runtime.compile_cache import enable_compile_cache
+
+        enable_compile_cache(cfg.compile_cache_dir)
 
     vocab = cfg.data.vocab_path
     if not os.path.exists(vocab):

@@ -43,6 +43,73 @@ def save_checkpoint(path: str, tree: Any) -> None:
         raise
 
 
+def _materialize(tree: Any) -> Any:
+    """Device→host snapshot of a pytree (one D2H transfer per leaf)."""
+    return jax.tree.map(np.asarray, jax.device_get(tree))
+
+
+class AsyncCheckpointer:
+    """Background-thread checkpoint writes.
+
+    ``save_checkpoint`` blocks the train loop on a device→host transfer
+    (over this backend's tunnel, tens of ms per MB) plus msgpack
+    serialization and disk IO — dead time the device spends idle.  JAX
+    arrays are immutable, so the snapshot can safely happen on a worker
+    thread: ``save(tree, paths)`` enqueues the *device* tree and returns
+    immediately; the worker materializes it once and writes every path.
+    One worker thread keeps writes ordered (last enqueue wins on disk).
+
+    Errors surface on the next ``wait()``/``save()`` call rather than
+    silently losing checkpoints.  Always ``wait()`` before reading a file
+    this writer may still be flushing (e.g. before resume or at exit).
+    """
+
+    def __init__(self):
+        import queue
+        import threading
+
+        self._q: "queue.Queue[tuple[Any, list[str]] | None]" = queue.Queue()
+        self._error: BaseException | None = None
+        self._thread = threading.Thread(
+            target=self._run, name="ckpt-writer", daemon=True)
+        self._thread.start()
+
+    def _run(self) -> None:
+        while True:
+            item = self._q.get()
+            try:
+                if item is None:
+                    return
+                tree, paths = item
+                if self._error is None:
+                    host = _materialize(tree)
+                    for p in paths:
+                        save_checkpoint(p, host)
+            except BaseException as e:  # surfaced on wait()
+                self._error = e
+            finally:
+                self._q.task_done()
+
+    def _raise_pending(self) -> None:
+        if self._error is not None:
+            err, self._error = self._error, None
+            raise RuntimeError("async checkpoint write failed") from err
+
+    def save(self, tree: Any, paths: list[str]) -> None:
+        self._raise_pending()
+        self._q.put((tree, list(paths)))
+
+    def wait(self) -> None:
+        """Block until every enqueued write hit disk; re-raise failures."""
+        self._q.join()
+        self._raise_pending()
+
+    def close(self) -> None:
+        self.wait()
+        self._q.put(None)
+        self._thread.join()
+
+
 def restore_checkpoint(path: str, template: Any = None) -> Any:
     """Restore a checkpoint file.
 
@@ -125,10 +192,16 @@ class CheckpointManager:
 
     The best metrics persist in a sidecar ``best.json`` so a resumed run does
     not clobber ``best_*.ckpt`` with a worse epoch (a fresh manager would
-    otherwise reset them to inf on construction)."""
+    otherwise reset them to inf on construction).
 
-    def __init__(self, directory: str):
+    ``async_io=True`` moves the device→host snapshot + serialization + disk
+    write of each epoch's checkpoints onto a background thread
+    (:class:`AsyncCheckpointer`) so the next epoch starts immediately; call
+    :meth:`wait` before restoring or exiting (``fit`` does)."""
+
+    def __init__(self, directory: str, async_io: bool = False):
         self.dir = directory
+        self._async = AsyncCheckpointer() if async_io else None
         os.makedirs(directory, exist_ok=True)
         self.last = os.path.join(directory, "last.ckpt")
         self.best_wer = os.path.join(directory, "best_wer.ckpt")
@@ -169,21 +242,39 @@ class CheckpointManager:
         self._save_best()
 
     def on_epoch_end(self, tree: Any, eval_loss: float, eval_wer: float) -> dict:
-        save_checkpoint(self.last, tree)
         saved = {"last": True, "best_wer": False, "best_loss": False}
+        paths = [self.last]
         if eval_wer < self._best_wer:
             self._best_wer = eval_wer
-            save_checkpoint(self.best_wer, tree)
+            paths.append(self.best_wer)
             saved["best_wer"] = True
         if eval_loss < self._best_loss:
             self._best_loss = eval_loss
-            save_checkpoint(self.best_loss, tree)
+            paths.append(self.best_loss)
             saved["best_loss"] = True
+        if self._async is not None:
+            self._async.save(tree, paths)
+        else:
+            host = _materialize(tree)
+            for p in paths:
+                save_checkpoint(p, host)
         if saved["best_wer"] or saved["best_loss"]:
             self._save_best()
         return saved
 
+    def save_now(self, tree: Any) -> None:
+        """Synchronous out-of-band ``last.ckpt`` write (preemption path) —
+        drains any pending async writes first so ``last`` is the newest."""
+        self.wait()
+        save_checkpoint(self.last, tree)
+
+    def wait(self) -> None:
+        """Drain pending async writes (no-op for a synchronous manager)."""
+        if self._async is not None:
+            self._async.wait()
+
     def try_resume(self, template: Any = None) -> Any | None:
+        self.wait()
         if checkpoint_exists(self.last):
             return restore_checkpoint(self.last, template)
         return None

@@ -44,6 +44,7 @@ class SingleModalityTrainer:
         self._tx = tx
         self._step = None
         self._eval = None
+        self._fold = None
 
     def init_state(self, rng: int, batch: dict):
         key = jax.random.PRNGKey(rng)
@@ -153,25 +154,56 @@ class SingleModalityTrainer:
     def fit(self, state, train_factory: Callable, val_factory: Callable,
             log_fn=print, start_epoch: int = 1):
         from .checkpoints import CheckpointManager
+        from .preempt import GracefulShutdown
         from .profiling import check_finite
 
         tcfg = self.config.train
-        ckpts = CheckpointManager(tcfg.checkpoint_dir) if tcfg.checkpoint_dir else None
-        for epoch in range(start_epoch, tcfg.max_epochs + 1):
-            total, n = 0.0, 0
-            for batch in train_factory():
-                state, loss = self.train_step(state, batch)
-                loss = float(loss)
-                if tcfg.check_finite:
-                    check_finite({"loss": loss}, step=n)
-                total += loss
-                n += 1
-            eval_loss, eval_wer, eval_cer = self.evaluate(val_factory(), state)
-            log_fn(f"[epoch {epoch}] train_loss={total / max(n,1):.4f} "
-                   f"eval_loss={eval_loss:.4f} wer={eval_wer:.3f} cer={eval_cer:.3f}")
-            if ckpts is not None:
-                ckpts.on_epoch_end({"state": jax.device_get(state), "epoch": epoch},
-                                   eval_loss, eval_wer)
+        ckpts = (CheckpointManager(tcfg.checkpoint_dir,
+                                   async_io=tcfg.async_checkpoint)
+                 if tcfg.checkpoint_dir else None)
+        if self._fold is None:
+            # Device-side loss accumulation (async_dispatch): one jitted
+            # enqueue per step instead of a blocking float(loss) readback.
+            self._fold = jax.jit(lambda acc, ok, x: (
+                acc + x.astype(jnp.float32), ok & jnp.isfinite(x)))
+        with GracefulShutdown(enable=tcfg.handle_signals) as stop:
+            for epoch in range(start_epoch, tcfg.max_epochs + 1):
+                total, n = 0.0, 0
+                acc, ok = jnp.zeros((), jnp.float32), jnp.asarray(True)
+                for batch in train_factory():
+                    if stop.requested:
+                        break
+                    state, loss = self.train_step(state, batch)
+                    if tcfg.async_dispatch:
+                        acc, ok = self._fold(acc, ok, loss)
+                    else:
+                        loss = float(loss)
+                        if tcfg.check_finite:
+                            check_finite({"loss": loss}, step=n)
+                        total += loss
+                    n += 1
+                if tcfg.async_dispatch:
+                    if tcfg.check_finite and not bool(ok):
+                        from .profiling import NonFiniteLossError
+
+                        raise NonFiniteLossError(
+                            f"non-finite loss within epoch {epoch}")
+                    total = float(acc)
+                if stop.requested:
+                    if ckpts is not None:
+                        ckpts.save_now({"state": jax.device_get(state),
+                                        "epoch": epoch - 1})
+                        log_fn(f"preempted: saved {ckpts.last} mid-epoch "
+                               f"{epoch} (resume will redo the epoch)")
+                    break
+                eval_loss, eval_wer, eval_cer = self.evaluate(val_factory(), state)
+                log_fn(f"[epoch {epoch}] train_loss={total / max(n,1):.4f} "
+                       f"eval_loss={eval_loss:.4f} wer={eval_wer:.3f} cer={eval_cer:.3f}")
+                if ckpts is not None:
+                    ckpts.on_epoch_end({"state": state, "epoch": epoch},
+                                       eval_loss, eval_wer)
+        if ckpts is not None:
+            ckpts.wait()
         return state
 
 

@@ -114,16 +114,21 @@ class MaskedAudioPretrainer:
         return self._step
 
     def fit(self, state: dict, batches: Iterable[dict], log_every: int = 100,
-            log_fn=print, span_rng: np.random.Generator | None = None):
+            log_fn=print, span_rng: np.random.Generator | None = None,
+            stop=None):
         """One pass over ``batches``.  ``span_rng`` draws the mask spans —
         pass a generator seeded per epoch so a resumed run replays the same
-        span schedule it would have seen uninterrupted."""
+        span schedule it would have seen uninterrupted.  ``stop`` (a
+        ``preempt.GracefulShutdown``) is polled per step so a SIGTERM breaks
+        at a checkpointable boundary."""
         params, opt_state = state["params"], state["opt_state"]
         key = state["key"]
         if span_rng is None:
             span_rng = np.random.default_rng(0)
         loss = None
         for i, batch in enumerate(batches):
+            if stop is not None and stop.requested:
+                break
             audio = np.asarray(batch["audio"])
             sample_mask = np.asarray(batch["mask1"]) != 3
             spans = make_span_mask(

@@ -38,7 +38,7 @@ from ..ops.ctc import ctc_greedy_decode, ctc_loss
 from ..ops.metrics import cer, wer
 from .checkpoints import CheckpointManager
 from .logging_utils import CsvLogger, StepTimer, TensorBoardLogger
-from .profiling import check_finite
+from .profiling import NonFiniteLossError, check_finite
 
 
 class TrainState(struct.PyTreeNode):
@@ -149,6 +149,8 @@ class MultiSpeakerTrainer:
         self._tx = None
         self._train_step = None
         self._eval_step = None
+        self._metric_fold = None
+        self._metric_nkeys = 0
 
     # -- state ---------------------------------------------------------------
 
@@ -335,25 +337,45 @@ class MultiSpeakerTrainer:
         return {k: v for k, v in batch.items() if k != "num_real"}
 
     def train_epoch(self, batches: Iterable[dict], log_every: int | None = None,
-                    log_fn: Callable[[str], None] = print, state: TrainState | None = None):
+                    log_fn: Callable[[str], None] = print, state: TrainState | None = None,
+                    stop=None):
         assert state is not None
         log_every = log_every or self.config.train.log_every
         timer = StepTimer()
         total, n = 0.0, 0
         sr = self.config.data.sample_rate
         guard = self.config.train.check_finite
+        deferred = self.config.train.async_dispatch
+        # Async dispatch: a per-step float(metrics) is a host↔device
+        # round-trip that idles the chip between steps (worse over a
+        # tunneled backend).  Instead, a tiny jitted combine folds each
+        # step's metrics into device-side running sums + a finiteness flag
+        # (one async enqueue, no readback); the host only syncs at log
+        # points and epoch end.  check_finite granularity widens from
+        # per-step to per-sync — it still raises before any checkpoint.
+        acc = ok = None
+        last_drained = -1
         for i, batch in enumerate(batches):
+            if stop is not None and stop.requested:
+                break  # preemption: state is a consistent post-step snapshot
             placed = self._place(batch)
             state, metrics = self.train_step(state, placed)
-            loss = float(metrics["loss"])
-            if guard:
-                check_finite({"loss": loss}, step=i)
-            total += loss
+            if deferred:
+                acc, ok = self._fold_metrics(acc, ok, metrics)
+            else:
+                loss = float(metrics["loss"])
+                if guard:
+                    check_finite({"loss": loss}, step=i)
+                total += loss
             n += 1
             timer.tick(batch["audio"].shape[0],
                        float(np.sum(batch["audio_lengths"])) / sr)
             if i % log_every == 0:
-                m = {k: float(v) for k, v in metrics.items()}
+                m = {k: float(v) for k, v in metrics.items()}  # host sync
+                if deferred and guard and not bool(ok):
+                    raise NonFiniteLossError(
+                        f"non-finite metrics in steps {last_drained + 1}..{i}")
+                last_drained = i
                 tp = timer.summary()
                 log_fn(
                     f"[batch {i}] loss={m['loss']:.4f} ctc1={m['ctc1']:.4f} "
@@ -361,7 +383,29 @@ class MultiSpeakerTrainer:
                     f"con2={m['contrast2']:.4f} gnorm={m['grad_norm']:.3f} "
                     f"utt/s={tp['utterances_per_sec']:.2f} rtf={tp['rtf']:.2f}"
                 )
+        if deferred and acc is not None:
+            if guard and not bool(ok):
+                raise NonFiniteLossError(
+                    f"non-finite metrics in steps {last_drained + 1}..{n - 1}")
+            total = float(acc[0])  # index 0 = "loss" (fold order)
         return state, (total / max(n, 1)), timer.summary()
+
+    def _fold_metrics(self, acc, ok, metrics):
+        """One jitted enqueue: running metric sums + all-finite flag on
+        device.  Index 0 of the packed vector is the loss."""
+        if self._metric_fold is None:
+            keys = ("loss",) + tuple(k for k in metrics if k != "loss")
+
+            def fold(acc, ok, m):
+                packed = jnp.stack([m[k].astype(jnp.float32) for k in keys])
+                return acc + packed, ok & jnp.all(jnp.isfinite(packed))
+
+            self._metric_fold = jax.jit(fold)
+            self._metric_nkeys = len(keys)
+        if acc is None:
+            acc = jnp.zeros(self._metric_nkeys, jnp.float32)
+            ok = jnp.asarray(True)
+        return self._metric_fold(acc, ok, metrics)
 
     def _decode(self, log_probs, lengths):
         """Decoder dispatch per ``config.decode.algorithm`` (LM shallow
@@ -455,7 +499,8 @@ class MultiSpeakerTrainer:
         on every rerun, losing history — main.py:154-157)."""
         tcfg = self.config.train
         resume = start_epoch > 1
-        ckpts = CheckpointManager(tcfg.checkpoint_dir)
+        ckpts = CheckpointManager(tcfg.checkpoint_dir,
+                                  async_io=tcfg.async_checkpoint)
         train_log = CsvLogger(f"{tcfg.checkpoint_dir}/train_log.csv", ["epoch", "loss"],
                               resume=resume)
         eval_log = CsvLogger(
@@ -470,39 +515,54 @@ class MultiSpeakerTrainer:
         # be resumed forever without ever stopping).
         best_loss, no_improve = (
             ckpts.early_stop_state() if resume else (float("inf"), 0))
-        for epoch in range(start_epoch, tcfg.max_epochs + 1):
-            state, train_loss, throughput = self.train_epoch(
-                train_factory(), log_fn=log_fn, state=state
-            )
-            eval_loss, eval_wer, eval_cer, per = self.evaluate(val_factory(), state)
-            log_fn(
-                f"[epoch {epoch}] train_loss={train_loss:.4f} eval_loss={eval_loss:.4f} "
-                f"wer={eval_wer:.3f} cer={eval_cer:.3f} utt/s={throughput['utterances_per_sec']:.2f}"
-            )
-            tb.scalars(epoch, **{
-                "train/loss": train_loss, "eval/loss": eval_loss,
-                "eval/wer": eval_wer, "eval/cer": eval_cer,
-                "eval/jer": per["jer"],
-                "throughput/utt_per_sec": throughput["utterances_per_sec"],
-            })
-            train_log.log(epoch=epoch, loss=f"{train_loss:.4f}")
-            eval_log.log(epoch=epoch, eval_loss=f"{eval_loss:.4f}",
-                         wer1=f"{per['wer1']:.4f}", wer2=f"{per['wer2']:.4f}",
-                         average_wer=f"{eval_wer:.4f}", cer=f"{eval_cer:.4f}",
-                         jer=f"{per['jer']:.4f}")
-            ckpts.on_epoch_end(
-                {"state": jax.device_get(state), "epoch": epoch},
-                eval_loss, eval_wer,
-            )
-            if eval_loss < best_loss:
-                best_loss = eval_loss
-                no_improve = 0
-            else:
-                no_improve += 1
-            ckpts.set_no_improve(no_improve)
-            if no_improve >= tcfg.early_stop_patience:
-                log_fn(f"early stop after {no_improve} epochs without improvement")
-                break
+        from .preempt import GracefulShutdown
+
+        with GracefulShutdown(enable=tcfg.handle_signals) as stop:
+            for epoch in range(start_epoch, tcfg.max_epochs + 1):
+                state, train_loss, throughput = self.train_epoch(
+                    train_factory(), log_fn=log_fn, state=state, stop=stop
+                )
+                if stop.requested:
+                    # Preempted mid-epoch: persist a consistent post-step
+                    # snapshot as epoch-1 so resume redoes this epoch, then
+                    # exit cleanly (SIGTERM grace-period protocol).
+                    ckpts.save_now({"state": jax.device_get(state),
+                                    "epoch": epoch - 1})
+                    log_fn(f"preempted: saved {ckpts.last} mid-epoch {epoch} "
+                           f"(resume will redo the epoch)")
+                    break
+                eval_loss, eval_wer, eval_cer, per = self.evaluate(
+                    val_factory(), state)
+                log_fn(
+                    f"[epoch {epoch}] train_loss={train_loss:.4f} eval_loss={eval_loss:.4f} "
+                    f"wer={eval_wer:.3f} cer={eval_cer:.3f} utt/s={throughput['utterances_per_sec']:.2f}"
+                )
+                tb.scalars(epoch, **{
+                    "train/loss": train_loss, "eval/loss": eval_loss,
+                    "eval/wer": eval_wer, "eval/cer": eval_cer,
+                    "eval/jer": per["jer"],
+                    "throughput/utt_per_sec": throughput["utterances_per_sec"],
+                })
+                train_log.log(epoch=epoch, loss=f"{train_loss:.4f}")
+                eval_log.log(epoch=epoch, eval_loss=f"{eval_loss:.4f}",
+                             wer1=f"{per['wer1']:.4f}", wer2=f"{per['wer2']:.4f}",
+                             average_wer=f"{eval_wer:.4f}", cer=f"{eval_cer:.4f}",
+                             jer=f"{per['jer']:.4f}")
+                # The manager snapshots device→host itself (on the writer
+                # thread when async_checkpoint=true).
+                ckpts.on_epoch_end({"state": state, "epoch": epoch},
+                                   eval_loss, eval_wer)
+                if eval_loss < best_loss:
+                    best_loss = eval_loss
+                    no_improve = 0
+                else:
+                    no_improve += 1
+                ckpts.set_no_improve(no_improve)
+                if no_improve >= tcfg.early_stop_patience:
+                    log_fn(f"early stop after {no_improve} epochs "
+                           f"without improvement")
+                    break
+        ckpts.wait()
         train_log.close()
         eval_log.close()
         tb.close()

@@ -41,7 +41,8 @@ class _StubTrainer(MultiSpeakerTrainer):
         self.eval_losses = list(eval_losses)
         self.epochs_run = 0
 
-    def train_epoch(self, batches, log_every=None, log_fn=print, state=None):
+    def train_epoch(self, batches, log_every=None, log_fn=print, state=None,
+                    stop=None):
         self.epochs_run += 1
         return state, 0.0, {"utterances_per_sec": 1.0}
 
@@ -420,3 +421,25 @@ def test_real_text_chord_table_covers_vocab(tok):
     src = RealTextStructuredSource(tok, ["가나다"], seed=0)
     assert len(src._chord) == tok.vocab_size
     assert len(set(src._chord.values())) == tok.vocab_size  # injective
+
+
+def test_compile_cache_enable_and_opt_out(tmp_path):
+    """CLI compile cache: enable_compile_cache points JAX's persistent
+    compilation cache at the (created, ~-expanded) directory, is idempotent,
+    and "" disables without touching config."""
+    import jax
+
+    from multimodal_av_model_tpu.runtime import compile_cache
+
+    prior = jax.config.jax_compilation_cache_dir  # conftest's warm cache
+    try:
+        assert compile_cache.enable_compile_cache("") is None
+        target = tmp_path / "xla_cache"
+        got = compile_cache.enable_compile_cache(str(target))
+        assert got == str(target) and target.is_dir()
+        assert jax.config.jax_compilation_cache_dir == str(target)
+        # Idempotent re-enable (same resolved path, no error).
+        assert compile_cache.enable_compile_cache(str(target)) == str(target)
+    finally:
+        # Point the rest of the suite back at conftest's warm cache.
+        compile_cache.enable_compile_cache(prior)
