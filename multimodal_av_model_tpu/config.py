@@ -261,6 +261,13 @@ class TrainConfig:
                                       # per-sync; it still raises before
                                       # any checkpoint is written)
     checkpoint_dir: str = "checkpoints"
+    checkpoint_layout: str = "file"   # "file" = single msgpack per
+                                      # checkpoint (gathers every leaf to
+                                      # host); "sharded" = gather-free
+                                      # per-process shard directories for
+                                      # FSDP/TP/multi-host state — restores
+                                      # under ANY target sharding
+                                      # (train/sharded_checkpoints.py)
     async_checkpoint: bool = False    # write epoch checkpoints on a
                                       # background thread (overlap D2H +
                                       # serialization + disk with the next

@@ -391,8 +391,13 @@ def run_single_modality(cfg, tokenizer, family: str, synthetic: bool) -> None:
     import jax
 
     state = trainer.init_state(cfg.data.seed, next(iter(train_factory())))
-    ckpts = CheckpointManager(cfg.train.checkpoint_dir)
-    resumed = ckpts.try_resume(template={"state": jax.device_get(state), "epoch": 0})
+    ckpts = CheckpointManager(cfg.train.checkpoint_dir,
+                              layout=cfg.train.checkpoint_layout)
+    if cfg.train.checkpoint_layout == "sharded":
+        template = {"state": state, "epoch": 0}
+    else:
+        template = {"state": jax.device_get(state), "epoch": 0}
+    resumed = ckpts.try_resume(template=template)
     start_epoch = 1
     if resumed is not None:
         start_epoch = int(resumed["epoch"]) + 1
@@ -548,9 +553,16 @@ def main(argv: list[str] | None = None) -> None:
         state = state.replace(params=new_params)
         print(f"grafted audio encoder from {cfg.train.audio_init_ckpt}")
 
-    ckpts = CheckpointManager(cfg.train.checkpoint_dir)
-    # Template-restore keeps optax/flax pytree structure intact.
-    resumed = ckpts.try_resume(template={"state": jax.device_get(state), "epoch": 0})
+    ckpts = CheckpointManager(cfg.train.checkpoint_dir,
+                              layout=cfg.train.checkpoint_layout)
+    # Template-restore keeps optax/flax pytree structure intact.  The
+    # sharded layout restores straight into the live state's shardings (no
+    # host gather), so its template is the device state itself.
+    if cfg.train.checkpoint_layout == "sharded":
+        template = {"state": state, "epoch": 0}
+    else:
+        template = {"state": jax.device_get(state), "epoch": 0}
+    resumed = ckpts.try_resume(template=template)
     start_epoch = 1
     if resumed is not None:
         start_epoch = int(resumed["epoch"]) + 1

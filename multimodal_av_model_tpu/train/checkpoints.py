@@ -48,6 +48,22 @@ def _materialize(tree: Any) -> Any:
     return jax.tree.map(np.asarray, jax.device_get(tree))
 
 
+def _write_files(tree: Any, paths: list[str]) -> None:
+    """Gathering writer: one host snapshot, one msgpack file per path."""
+    host = _materialize(tree)
+    for p in paths:
+        save_checkpoint(p, host)
+
+
+def _write_sharded(tree: Any, paths: list[str]) -> None:
+    """Gather-free writer: one sharded checkpoint directory per path
+    (sharded_checkpoints.py — each process writes only the shards it owns)."""
+    from .sharded_checkpoints import save_sharded
+
+    for p in paths:
+        save_sharded(p, tree)
+
+
 class AsyncCheckpointer:
     """Background-thread checkpoint writes.
 
@@ -80,11 +96,9 @@ class AsyncCheckpointer:
             try:
                 if item is None:
                     return
-                tree, paths = item
+                tree, paths, writer = item
                 if self._error is None:
-                    host = _materialize(tree)
-                    for p in paths:
-                        save_checkpoint(p, host)
+                    writer(tree, paths)
             except BaseException as e:  # surfaced on wait()
                 self._error = e
             finally:
@@ -95,9 +109,9 @@ class AsyncCheckpointer:
             err, self._error = self._error, None
             raise RuntimeError("async checkpoint write failed") from err
 
-    def save(self, tree: Any, paths: list[str]) -> None:
+    def save(self, tree: Any, paths: list[str], writer=None) -> None:
         self._raise_pending()
-        self._q.put((tree, list(paths)))
+        self._q.put((tree, list(paths), writer or _write_files))
 
     def wait(self) -> None:
         """Block until every enqueued write hit disk; re-raise failures."""
@@ -197,10 +211,26 @@ class CheckpointManager:
     ``async_io=True`` moves the device→host snapshot + serialization + disk
     write of each epoch's checkpoints onto a background thread
     (:class:`AsyncCheckpointer`) so the next epoch starts immediately; call
-    :meth:`wait` before restoring or exiting (``fit`` does)."""
+    :meth:`wait` before restoring or exiting (``fit`` does).
 
-    def __init__(self, directory: str, async_io: bool = False):
+    ``layout="sharded"`` switches the backend to gather-free sharded
+    directories (sharded_checkpoints.py): each process writes only the
+    shards it owns — the right backend for FSDP/TP/multi-host state, where
+    the default gathering writer re-assembles every leaf on one host (and
+    raises outright on non-fully-addressable arrays).  The checkpoint
+    *names* and rolling policy are identical; ``last.ckpt`` etc. are
+    directories instead of files.  Combining with ``async_io`` is supported
+    single-process; in a multi-process run keep sharded writes synchronous
+    (the save is collective — a barrier on a worker thread against a peer
+    that already crashed deadlocks instead of erroring)."""
+
+    def __init__(self, directory: str, async_io: bool = False,
+                 layout: str = "file"):
+        if layout not in ("file", "sharded"):
+            raise ValueError(f"unknown checkpoint layout {layout!r}")
         self.dir = directory
+        self._layout = layout
+        self._writer = _write_sharded if layout == "sharded" else _write_files
         self._async = AsyncCheckpointer() if async_io else None
         os.makedirs(directory, exist_ok=True)
         self.last = os.path.join(directory, "last.ckpt")
@@ -253,11 +283,9 @@ class CheckpointManager:
             paths.append(self.best_loss)
             saved["best_loss"] = True
         if self._async is not None:
-            self._async.save(tree, paths)
+            self._async.save(tree, paths, self._writer)
         else:
-            host = _materialize(tree)
-            for p in paths:
-                save_checkpoint(p, host)
+            self._writer(tree, paths)
         if saved["best_wer"] or saved["best_loss"]:
             self._save_best()
         return saved
@@ -266,15 +294,27 @@ class CheckpointManager:
         """Synchronous out-of-band ``last.ckpt`` write (preemption path) —
         drains any pending async writes first so ``last`` is the newest."""
         self.wait()
-        save_checkpoint(self.last, tree)
+        self._writer(tree, [self.last])
 
     def wait(self) -> None:
         """Drain pending async writes (no-op for a synchronous manager)."""
         if self._async is not None:
             self._async.wait()
 
+    def exists(self) -> bool:
+        """Is there a committed ``last`` checkpoint to resume from?"""
+        if self._layout == "sharded":
+            from .sharded_checkpoints import sharded_checkpoint_exists
+
+            return sharded_checkpoint_exists(self.last)
+        return checkpoint_exists(self.last)
+
     def try_resume(self, template: Any = None) -> Any | None:
         self.wait()
-        if checkpoint_exists(self.last):
-            return restore_checkpoint(self.last, template)
-        return None
+        if not self.exists():
+            return None
+        if self._layout == "sharded":
+            from .sharded_checkpoints import restore_sharded
+
+            return restore_sharded(self.last, template)
+        return restore_checkpoint(self.last, template)

@@ -159,7 +159,8 @@ class SingleModalityTrainer:
 
         tcfg = self.config.train
         ckpts = (CheckpointManager(tcfg.checkpoint_dir,
-                                   async_io=tcfg.async_checkpoint)
+                                   async_io=tcfg.async_checkpoint,
+                                   layout=tcfg.checkpoint_layout)
                  if tcfg.checkpoint_dir else None)
         if self._fold is None:
             # Device-side loss accumulation (async_dispatch): one jitted
@@ -191,8 +192,7 @@ class SingleModalityTrainer:
                     total = float(acc)
                 if stop.requested:
                     if ckpts is not None:
-                        ckpts.save_now({"state": jax.device_get(state),
-                                        "epoch": epoch - 1})
+                        ckpts.save_now({"state": state, "epoch": epoch - 1})
                         log_fn(f"preempted: saved {ckpts.last} mid-epoch "
                                f"{epoch} (resume will redo the epoch)")
                     break

@@ -500,7 +500,8 @@ class MultiSpeakerTrainer:
         tcfg = self.config.train
         resume = start_epoch > 1
         ckpts = CheckpointManager(tcfg.checkpoint_dir,
-                                  async_io=tcfg.async_checkpoint)
+                                  async_io=tcfg.async_checkpoint,
+                                  layout=tcfg.checkpoint_layout)
         train_log = CsvLogger(f"{tcfg.checkpoint_dir}/train_log.csv", ["epoch", "loss"],
                               resume=resume)
         eval_log = CsvLogger(
@@ -526,8 +527,9 @@ class MultiSpeakerTrainer:
                     # Preempted mid-epoch: persist a consistent post-step
                     # snapshot as epoch-1 so resume redoes this epoch, then
                     # exit cleanly (SIGTERM grace-period protocol).
-                    ckpts.save_now({"state": jax.device_get(state),
-                                    "epoch": epoch - 1})
+                    # The manager's writer materializes (file layout) or
+                    # saves per-process shards (sharded layout) itself.
+                    ckpts.save_now({"state": state, "epoch": epoch - 1})
                     log_fn(f"preempted: saved {ckpts.last} mid-epoch {epoch} "
                            f"(resume will redo the epoch)")
                     break
