@@ -148,11 +148,14 @@ class WavCache:
 
 
 def write_wav(path: str, audio: np.ndarray, sr: int = 16000) -> None:
-    """16-bit PCM writer (test fixtures / debugging)."""
+    """16-bit PCM writer (test fixtures / debugging).  Mono ``[S]`` or
+    multi-channel ``[S, C]`` (the AI-Hub corpus ships 48 kHz STEREO wavs,
+    reference input_texts/*.json Audio_info; ``read_wav`` mono-mixes)."""
     pcm = np.clip(np.asarray(audio, np.float64), -1.0, 1.0)
     pcm = (pcm * 32767.0).astype("<i2")
+    n_channels = 1 if pcm.ndim == 1 else int(pcm.shape[1])
     with wave.open(path, "wb") as w:
-        w.setnchannels(1)
+        w.setnchannels(n_channels)
         w.setsampwidth(2)
         w.setframerate(sr)
-        w.writeframes(pcm.tobytes())
+        w.writeframes(pcm.tobytes())   # [S, C] rows are interleaved frames

@@ -117,6 +117,10 @@ def extract_clips(
     out_size: int = 128,
     margin: int = 10,
     boxes_for_frames=None,             # callable frames -> [T,4] | None; defaults to MediaPipe
+    boxes_for_range=None,              # callable (start,end) -> [T,4] | None:
+                                       # PRECOMPUTED per-source-frame boxes
+                                       # (corpora shipping landmark boxes need
+                                       # no MediaPipe at extraction time)
 ) -> ExtractionResult:
     """Sentence-wise extraction over the AI-Hub schema (reference :9-103)."""
     os.makedirs(save_dir, exist_ok=True)
@@ -134,7 +138,8 @@ def extract_clips(
         if frames is None or len(frames) == 0:
             result.skipped.append((sent_id, "frame_read_failed"))
             continue
-        boxes = detect(frames)
+        boxes = (boxes_for_range(start, end) if boxes_for_range is not None
+                 else detect(frames))
         if boxes is None:
             result.skipped.append((sent_id, "face_not_detected"))
             continue
