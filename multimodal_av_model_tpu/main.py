@@ -350,18 +350,16 @@ def run_ssl_pretrain(cfg, tokenizer, synthetic: bool) -> None:
             save_checkpoint(ckpts.last, {"state": snapshot(state), "epoch": epoch})
 
 
-def run_single_modality(cfg, tokenizer, family: str, synthetic: bool) -> None:
-    """Audio-only / video-only CTC training (BASELINE configs 1-2)."""
+def build_single_modality_data(cfg, tokenizer, family: str, synthetic: bool):
+    """(train_factory, val_factory) over the single-stream batch schema
+    ``{inputs, meta, labels, label_lengths}`` for the audio/visual families
+    — shared by training (run_single_modality) and the standalone
+    ``--eval``/``--infer`` surfaces."""
     from .train.single_modality import (
-        make_audio_trainer,
-        make_visual_trainer,
         synthetic_audio_batches,
         synthetic_visual_batches,
         utterance_batches,
     )
-
-    make = make_audio_trainer if family == "audio" else make_visual_trainer
-    trainer = make(cfg, tokenizer)
 
     if synthetic:
         syn = synthetic_audio_batches if family == "audio" else synthetic_visual_batches
@@ -371,20 +369,100 @@ def run_single_modality(cfg, tokenizer, family: str, synthetic: bool) -> None:
                                     seed=cfg.data.seed)
         val_factory = lambda: syn(tokenizer, cfg.train.eval_batch_size, n_val,
                                   seed=cfg.data.seed + 1)
-    else:
-        from .data.manifest import build_data_list, train_val_test_split
+        return train_factory, val_factory
 
-        entries, _ = build_data_list(cfg.data.json_folder, cfg.data.npy_dir,
-                                     cfg.data.text_dir, cfg.data.wav_dir)
-        if not entries:
-            raise SystemExit("no usable data; use --synthetic")
-        train_set, val_set, _ = train_val_test_split(entries, seed=cfg.data.seed)
-        train_factory = lambda: utterance_batches(
-            train_set, tokenizer, family, cfg.train.batch_size,
-            cfg.data.sample_rate)
-        val_factory = lambda: utterance_batches(
-            val_set, tokenizer, family, cfg.train.eval_batch_size,
-            cfg.data.sample_rate, drop_last=False)
+    from .data.manifest import build_data_list, train_val_test_split
+
+    entries, _ = build_data_list(cfg.data.json_folder, cfg.data.npy_dir,
+                                 cfg.data.text_dir, cfg.data.wav_dir)
+    if not entries:
+        raise SystemExit("no usable data; use --synthetic")
+    train_set, val_set, _ = train_val_test_split(entries, seed=cfg.data.seed)
+    train_factory = lambda: utterance_batches(
+        train_set, tokenizer, family, cfg.train.batch_size,
+        cfg.data.sample_rate)
+    val_factory = lambda: utterance_batches(
+        val_set, tokenizer, family, cfg.train.eval_batch_size,
+        cfg.data.sample_rate, drop_last=False)
+    return train_factory, val_factory
+
+
+def _restore_single_modality(cfg, tokenizer, family: str, first_batch):
+    """Build the family trainer and template-restore its checkpoint
+    (best_wer, falling back to last) — the single-modality analogue of the
+    flagship restore in run_eval/run_infer."""
+    import jax
+
+    from .train.checkpoints import restore_checkpoint
+    from .train.single_modality import make_audio_trainer, make_visual_trainer
+
+    make = make_audio_trainer if family == "audio" else make_visual_trainer
+    trainer = make(cfg, tokenizer)
+    ckpt = os.path.join(cfg.train.checkpoint_dir, "best_wer.ckpt")
+    if not os.path.isfile(ckpt):
+        ckpt = os.path.join(cfg.train.checkpoint_dir, "last.ckpt")
+    if not os.path.isfile(ckpt):
+        raise SystemExit(f"no checkpoint under {cfg.train.checkpoint_dir}")
+    state = trainer.init_state(cfg.data.seed, first_batch)
+    payload = restore_checkpoint(
+        ckpt, template={"state": jax.device_get(state), "epoch": 0})
+    return trainer, dict(payload["state"]), ckpt, int(payload.get("epoch", 0))
+
+
+def run_eval_single_modality(cfg, tokenizer, family: str, synthetic: bool) -> None:
+    """``--eval --family=audio|visual``: standalone scoring of a
+    single-modality checkpoint — greedy + production decode
+    (config.decode.algorithm, LM fusion included), one JSON line.  Same
+    surface as the flagship run_eval; closes the gap where SSL→finetune
+    products could only be scored through private benchmark harnesses."""
+    import json
+
+    _, val_factory = build_single_modality_data(cfg, tokenizer, family, synthetic)
+    first = next(iter(val_factory()))
+    trainer, state, ckpt, epoch = _restore_single_modality(
+        cfg, tokenizer, family, first)
+    report = {"checkpoint": ckpt, "family": family, "epoch": epoch, "decode": {}}
+    for name, use_beam in (("greedy", False), (cfg.decode.algorithm, True)):
+        loss, wer_, cer_ = trainer.evaluate(val_factory(), state, use_beam=use_beam)
+        report["decode"][name] = {"eval_loss": round(float(loss), 4),
+                                  "wer": round(float(wer_), 4),
+                                  "cer": round(float(cer_), 4)}
+        print(f"[eval {family}] {name}: loss={loss:.4f} wer={wer_:.4f} "
+              f"cer={cer_:.4f}", flush=True)
+    print(json.dumps(report))
+
+
+def run_infer_single_modality(cfg, tokenizer, family: str, synthetic: bool) -> None:
+    """``--infer --family=audio|visual``: checkpoint → per-utterance
+    transcripts with the production decode (config.decode.algorithm)."""
+    from .train.trainer import decode_log_probs
+
+    _, val_factory = build_single_modality_data(cfg, tokenizer, family, synthetic)
+    first = next(iter(val_factory()))
+    trainer, state, ckpt, _ = _restore_single_modality(
+        cfg, tokenizer, family, first)
+    print(f"transcribing ({family}) with {ckpt}")
+    n = 0
+    for batch in val_factory():
+        lp, il = trainer.eval_forward(state["params"], state["batch_stats"],
+                                      batch["inputs"], batch["meta"])
+        ids, lens = decode_log_probs(cfg, lp, il)
+        ids, lens = np.asarray(ids), np.asarray(lens)
+        num_real = int(batch.get("num_real", ids.shape[0]))
+        for b in range(num_real):
+            print(f"[utt {n}] {tokenizer.decode(ids[b, : lens[b]].tolist())}")
+            n += 1
+    print(f"transcribed {n} utterances")
+
+
+def run_single_modality(cfg, tokenizer, family: str, synthetic: bool) -> None:
+    """Audio-only / video-only CTC training (BASELINE configs 1-2)."""
+    from .train.single_modality import make_audio_trainer, make_visual_trainer
+
+    make = make_audio_trainer if family == "audio" else make_visual_trainer
+    trainer = make(cfg, tokenizer)
+    train_factory, val_factory = build_single_modality_data(
+        cfg, tokenizer, family, synthetic)
 
     from .train.checkpoints import CheckpointManager
 
@@ -456,14 +534,23 @@ def main(argv: list[str] | None = None) -> None:
         run_stream(cfg, tokenizer, stream_wav)
         return
     if evaluate:
-        if family != "av":
-            raise SystemExit("--eval currently scores the flagship (av) family")
-        run_eval(cfg, tokenizer, synthetic)
+        if family == "ssl":
+            raise SystemExit("--eval scores decoder-bearing families "
+                             "(av|audio|visual); finetune an SSL checkpoint "
+                             "first (train.audio_init_ckpt)")
+        if family == "av":
+            run_eval(cfg, tokenizer, synthetic)
+        else:
+            run_eval_single_modality(cfg, tokenizer, family, synthetic)
         return
     if infer:
-        if family != "av":
-            raise SystemExit("--infer currently serves the flagship (av) family")
-        run_infer(cfg, tokenizer, synthetic, export_dir)
+        if family == "ssl":
+            raise SystemExit("--infer serves decoder-bearing families "
+                             "(av|audio|visual)")
+        if family == "av":
+            run_infer(cfg, tokenizer, synthetic, export_dir)
+        else:
+            run_infer_single_modality(cfg, tokenizer, family, synthetic)
         return
     if family == "ssl":
         run_ssl_pretrain(cfg, tokenizer, synthetic)

@@ -17,7 +17,6 @@ import numpy as np
 import optax
 
 from ..config import Config
-from ..ops.beam_search import beam_search_decode
 from ..ops.ctc import ctc_greedy_decode, ctc_loss
 from ..ops.metrics import cer, wer
 
@@ -139,8 +138,12 @@ class SingleModalityTrainer:
             total += float(loss)
             n += 1
             if use_beam:
-                ids, lens, _ = beam_search_decode(
-                    lp, il, self.config.decode.beam_width, blank)
+                # Production decode dispatch (config.decode.algorithm:
+                # prefix_beam + LM fusion / reference_beam / greedy) — the
+                # same surface the flagship eval uses.
+                from .trainer import decode_log_probs
+
+                ids, lens = decode_log_probs(self.config, lp, il)
             else:
                 ids, lens = ctc_greedy_decode(lp, il, blank)
             ids, lens = np.asarray(ids), np.asarray(lens)

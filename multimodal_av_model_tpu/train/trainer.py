@@ -110,6 +110,34 @@ def make_lr_schedule(tcfg, base_lr: float):
     raise ValueError(f"unknown lr_schedule {tcfg.lr_schedule!r}")
 
 
+def decode_log_probs(config: Config, log_probs, lengths):
+    """Production decoder dispatch per ``config.decode.algorithm`` (LM
+    shallow fusion included when ``decode.lm_path`` is set — see infer.py).
+    Shared by every family's eval/serving surface: the flagship trainer,
+    the single-modality trainer (train/single_modality.py) and the
+    standalone ``--eval``/``--infer`` CLI (main.py)."""
+    dcfg = config.decode
+    blank = config.model.decoder.blank_id
+    if dcfg.algorithm == "greedy":
+        return ctc_greedy_decode(log_probs, lengths, blank)
+    if dcfg.algorithm == "prefix_beam":
+        from ..infer import _fusion_lm
+        from ..ops.prefix_beam_search import prefix_beam_search_decode
+
+        lm = _fusion_lm(config)
+        ids, out_len, _ = prefix_beam_search_decode(
+            log_probs, lengths, dcfg.beam_width, dcfg.prefix_top_k, blank,
+            lm=lm,
+            lm_weight=dcfg.lm_weight if lm is not None else 0.0,
+            length_bonus=dcfg.length_bonus if lm is not None else 0.0)
+        return ids, out_len
+    if dcfg.algorithm == "reference_beam":
+        ids, out_len, _ = beam_search_decode(
+            log_probs, lengths, dcfg.beam_width, blank)
+        return ids, out_len
+    raise ValueError(f"unknown decode algorithm {dcfg.algorithm!r}")
+
+
 def make_optimizer(cfg: Config, params: dict, frozen_prefixes: tuple[str, ...] = ()):
     tcfg = cfg.train
     def adam(lr):
@@ -408,28 +436,7 @@ class MultiSpeakerTrainer:
         return self._metric_fold(acc, ok, metrics)
 
     def _decode(self, log_probs, lengths):
-        """Decoder dispatch per ``config.decode.algorithm`` (LM shallow
-        fusion included when ``decode.lm_path`` is set — see infer.py)."""
-        dcfg = self.config.decode
-        blank = self.config.model.decoder.blank_id
-        if dcfg.algorithm == "greedy":
-            return ctc_greedy_decode(log_probs, lengths, blank)
-        if dcfg.algorithm == "prefix_beam":
-            from ..infer import _fusion_lm
-            from ..ops.prefix_beam_search import prefix_beam_search_decode
-
-            lm = _fusion_lm(self.config)
-            ids, out_len, _ = prefix_beam_search_decode(
-                log_probs, lengths, dcfg.beam_width, dcfg.prefix_top_k, blank,
-                lm=lm,
-                lm_weight=dcfg.lm_weight if lm is not None else 0.0,
-                length_bonus=dcfg.length_bonus if lm is not None else 0.0)
-            return ids, out_len
-        if dcfg.algorithm == "reference_beam":
-            ids, out_len, _ = beam_search_decode(
-                log_probs, lengths, dcfg.beam_width, blank)
-            return ids, out_len
-        raise ValueError(f"unknown decode algorithm {dcfg.algorithm!r}")
+        return decode_log_probs(self.config, log_probs, lengths)
 
     def evaluate(self, batches: Iterable[dict], state: TrainState,
                  use_beam: bool = True):
