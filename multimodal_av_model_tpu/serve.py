@@ -31,11 +31,23 @@ from concurrent.futures import Future
 from typing import Any, Callable, Sequence
 
 
+class Overloaded(RuntimeError):
+    """Queue-depth admission rejection: the request was never enqueued.
+    HTTP surface maps this to 503 + Retry-After (load shedding)."""
+
+
+class DeadlineExceeded(TimeoutError):
+    """The request waited in queue past its deadline and was shed before
+    touching the device (its slot goes to a fresher request instead)."""
+
+
 @dataclasses.dataclass
 class BatcherStats:
     requests: int = 0
     batches: int = 0
     rows_padded: int = 0
+    shed_queue_full: int = 0
+    shed_deadline: int = 0
 
     @property
     def mean_batch(self) -> float:
@@ -51,15 +63,30 @@ class DynamicBatcher:
     arrived within ``max_wait_ms``.  Under load the wait never triggers —
     the next batch forms while the device runs the previous one; when idle a
     lone request pays at most ``max_wait_ms`` extra latency.
+
+    Overload protection (both off by default for embedded use; the HTTP
+    server enables them):
+
+    * ``max_queue`` bounds the number of waiting requests.  ``submit`` on a
+      full queue raises ``Overloaded`` immediately — without a bound the
+      queue grows without limit at offered load above capacity and EVERY
+      request's latency diverges (measured: p99 13.2 s at 2x capacity,
+      benchmarks/serving_latency.json pre-round-4).
+    * ``deadline_ms`` sheds requests that waited in queue longer than this
+      before execution (``DeadlineExceeded``).  Queue-wait is the one
+      unbounded latency term; with both knobs on, ADMITTED requests have
+      bounded latency: <= deadline + batch-formation + one device forward.
     """
 
     def __init__(self, infer_fn: Callable[[list], list], max_batch: int = 32,
-                 max_wait_ms: float = 10.0):
+                 max_wait_ms: float = 10.0, max_queue: int | None = None,
+                 deadline_ms: float | None = None):
         self.infer_fn = infer_fn
         self.max_batch = int(max_batch)
         self.max_wait_s = float(max_wait_ms) / 1000.0
+        self.deadline_s = float(deadline_ms) / 1000.0 if deadline_ms else None
         self.stats = BatcherStats()
-        self._q: queue.Queue = queue.Queue()
+        self._q: queue.Queue = queue.Queue(maxsize=int(max_queue or 0))
         self._closed = False
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
@@ -68,7 +95,13 @@ class DynamicBatcher:
         if self._closed:
             raise RuntimeError("batcher is closed")
         fut: Future = Future()
-        self._q.put((item, fut))
+        try:
+            self._q.put_nowait((item, fut, time.monotonic()))
+        except queue.Full:
+            self.stats.shed_queue_full += 1
+            raise Overloaded(
+                f"queue full ({self._q.maxsize} waiting); retry later"
+            ) from None
         return fut
 
     def __call__(self, item: Any, timeout: float | None = None) -> Any:
@@ -79,11 +112,25 @@ class DynamicBatcher:
         self._q.put(None)
         self._thread.join(timeout)
 
+    def _expired(self, entry) -> bool:
+        """Shed a queue-expired request (never reaches the device)."""
+        if self.deadline_s is None:
+            return False
+        _, fut, t_enq = entry
+        if time.monotonic() - t_enq <= self.deadline_s:
+            return False
+        self.stats.shed_deadline += 1
+        fut.set_exception(DeadlineExceeded(
+            f"spent > {self.deadline_s * 1000:.0f} ms in queue"))
+        return True
+
     def _loop(self) -> None:
         while True:
             head = self._q.get()
             if head is None:
                 return
+            if self._expired(head):
+                continue
             pairs = [head]
             deadline = time.monotonic() + self.max_wait_s
             while len(pairs) < self.max_batch:
@@ -95,7 +142,8 @@ class DynamicBatcher:
                 if nxt is None:
                     self._finish(pairs)
                     return
-                pairs.append(nxt)
+                if not self._expired(nxt):
+                    pairs.append(nxt)
             self._finish(pairs)
 
     def _finish(self, pairs: list) -> None:
@@ -107,13 +155,13 @@ class DynamicBatcher:
                     f"infer_fn returned {len(results)} results for "
                     f"{len(items)} items")
         except BaseException as e:  # propagate per-request, keep serving
-            for _, fut in pairs:
+            for _, fut, _ in pairs:
                 fut.set_exception(e)
             return
         self.stats.requests += len(pairs)
         self.stats.batches += 1
         self.stats.rows_padded += self.max_batch - len(pairs)
-        for (_, fut), r in zip(pairs, results):
+        for (_, fut, _), r in zip(pairs, results):
             fut.set_result(r)
 
 
@@ -128,7 +176,9 @@ class AudioService:
 
     def __init__(self, transcriber, max_batch: int = 32,
                  max_seconds: float = 16.0, max_wait_ms: float = 10.0,
-                 use_beam: bool = True, sample_rate: int = 16000):
+                 use_beam: bool = True, sample_rate: int = 16000,
+                 max_queue: int | None = None,
+                 deadline_ms: float | None = None):
         import numpy as np
 
         self._np = np
@@ -137,7 +187,9 @@ class AudioService:
         self.samples = int(max_seconds * sample_rate)
         self.max_batch = int(max_batch)
         self.use_beam = use_beam
-        self.batcher = DynamicBatcher(self._infer, max_batch, max_wait_ms)
+        self.batcher = DynamicBatcher(self._infer, max_batch, max_wait_ms,
+                                      max_queue=max_queue,
+                                      deadline_ms=deadline_ms)
 
     def transcribe(self, wave, rate: int | None = None,
                    timeout: float | None = 60.0) -> str:
@@ -198,7 +250,9 @@ def serve_http(service: AudioService, host: str = "127.0.0.1",
             st = service.batcher.stats
             self._send(200, {"ok": True, "requests": st.requests,
                              "batches": st.batches,
-                             "mean_batch": round(st.mean_batch, 2)})
+                             "mean_batch": round(st.mean_batch, 2),
+                             "shed_queue_full": st.shed_queue_full,
+                             "shed_deadline": st.shed_deadline})
 
         def do_POST(self):
             if self.path != "/transcribe":
@@ -221,6 +275,18 @@ def serve_http(service: AudioService, host: str = "127.0.0.1",
                 self._send(200, {
                     "text": text,
                     "latency_ms": round((time.monotonic() - t0) * 1000, 1)})
+            except Overloaded as e:
+                # Load shedding: bounded queue refused admission.  503 +
+                # Retry-After so well-behaved clients back off.
+                self.send_response(503)
+                body = json.dumps({"error": f"overloaded: {e}"}).encode()
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.send_header("Retry-After", "1")
+                self.end_headers()
+                self.wfile.write(body)
+            except DeadlineExceeded as e:
+                self._send(503, {"error": f"shed after queueing: {e}"})
             except Exception as e:
                 self._send(400, {"error": f"{type(e).__name__}: {e}"})
 
