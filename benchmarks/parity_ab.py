@@ -37,9 +37,16 @@ Writes benchmarks/parity_ab.json:
    "ours": {"cer": {...}, "sec_per_step": ...}, "speedup": ...}
 
 Usage:
-  python benchmarks/parity_ab.py --side=reference   # CPU, slow (background)
-  python benchmarks/parity_ab.py --side=ours        # TPU (or CPU fallback)
-  python benchmarks/parity_ab.py --side=merge       # combine partials
+  python benchmarks/parity_ab.py --side=reference --seed=N  # CPU, slow (bg)
+  python benchmarks/parity_ab.py --side=ours --seed=N       # TPU
+  python benchmarks/parity_ab.py --side=merge               # combine a seed's partials
+  python benchmarks/parity_ab.py --side=merge-seeds         # aggregate all seeds
+                                                            # -> parity_ab.json
+
+Each (seed, side) run writes/updates benchmarks/parity_ab_seed{N}.json;
+``merge-seeds`` folds every per-seed file into the headline parity_ab.json
+with per-seed curves, mean +/- spread, and a summary that only claims
+matches-or-beats if it holds at EVERY seed.
 """
 
 from __future__ import annotations
@@ -53,7 +60,8 @@ import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
-OUT = os.path.join(REPO, "benchmarks", "parity_ab.json")
+OUT = None   # resolved after flag parsing: parity_ab_seed{SEED}.json
+AGGREGATE = os.path.join(REPO, "benchmarks", "parity_ab.json")
 
 # -- shared experiment definition ---------------------------------------------
 
@@ -403,11 +411,115 @@ def run_ours():
             })
 
 
+# -- multi-seed aggregation ----------------------------------------------------
+
+def merge_seeds():
+    """Fold every parity_ab_seed*.json into the headline parity_ab.json.
+
+    The north-star claim ("ours matches-or-beats the reference at matched
+    steps, and reaches the reference's final CER in far less wall-clock") is
+    only made if it survives EVERY seed; mean and spread across seeds are
+    reported at each step where at least one seed on both sides has data.
+    Per-seed sec_per_step is contention-prone on this single-core host, so
+    the wall-clock ratio uses the MINIMUM (= least contended, most favorable
+    to the reference) reference sec_per_step and the median of ours.
+    """
+    import glob
+
+    seed_files = sorted(glob.glob(
+        os.path.join(REPO, "benchmarks", "parity_ab_seed*.json")))
+    per_seed, seeds = {}, []
+    for path in seed_files:
+        with open(path) as f:
+            d = json.load(f)
+        if "reference" not in d or "ours" not in d:
+            print(f"skip {path}: incomplete (needs both sides)")
+            continue
+        seed = d.get("config", {}).get("seed")
+        seeds.append(seed)
+        per_seed[str(seed)] = d
+
+    def stat_curves(side):
+        steps = sorted({int(s) for d in per_seed.values()
+                        for s in d[side]["cer"]})
+        mean, std, per_step_n = {}, {}, {}
+        for st in steps:
+            vals = [d[side]["cer"][str(st)] for d in per_seed.values()
+                    if str(st) in d[side]["cer"]]
+            mean[str(st)] = float(np.mean(vals))
+            std[str(st)] = float(np.std(vals))
+            per_step_n[str(st)] = len(vals)
+        return {"cer_mean": mean, "cer_std": std, "n_seeds_at_step": per_step_n}
+
+    ref_spss = [d["reference"]["sec_per_step"] for d in per_seed.values()]
+    ours_spss = [d["ours"]["sec_per_step"] for d in per_seed.values()]
+    ref_sps = float(min(ref_spss))
+    ours_sps = float(np.median(ours_spss))
+
+    # Per-seed matched-step verdicts at every step common to both sides.
+    verdicts, ttm_ratios, steps_to_final = {}, [], []
+    beats_every_checkpoint = True
+    for seed, d in per_seed.items():
+        common = sorted({int(s) for s in d["reference"]["cer"]}
+                        & {int(s) for s in d["ours"]["cer"]})
+        rows = {str(st): {
+            "reference": d["reference"]["cer"][str(st)],
+            "ours": d["ours"]["cer"][str(st)],
+            "ours_matches_or_beats":
+                d["ours"]["cer"][str(st)] <= d["reference"]["cer"][str(st)],
+        } for st in common}
+        beats_every_checkpoint &= all(r["ours_matches_or_beats"]
+                                      for r in rows.values())
+        last = str(max(common))
+        target = d["reference"]["cer"][last]
+        step_match = next((int(s) for s in sorted(d["ours"]["cer"], key=int)
+                           if d["ours"]["cer"][s] <= target), None)
+        steps_to_final.append(step_match)
+        if step_match is not None:
+            ttm_ratios.append((int(last) * ref_sps) / (step_match * ours_sps))
+        verdicts[seed] = {"checkpoints": rows, "matched_step": int(last),
+                          "ours_steps_to_reference_final_cer": step_match}
+
+    out = {
+        "n_seeds": len(per_seed),
+        "seeds": sorted(seeds),
+        "config": {**next(iter(per_seed.values()))["config"],
+                   "seed": sorted(seeds)},
+        "reference": {**stat_curves("reference"), "sec_per_step": ref_sps,
+                      "sec_per_step_per_seed": ref_spss,
+                      "sec_per_step_note": (
+                          "min across seeds; single-core host, background "
+                          "contention only ever inflates a seed's number")},
+        "ours": {**stat_curves("ours"), "sec_per_step": ours_sps,
+                 "sec_per_step_per_seed": ours_spss,
+                 "device": next(iter(per_seed.values()))["ours"]["device"]},
+        "per_seed": verdicts,
+        "speedup": ref_sps / ours_sps,
+        "summary": {
+            "ours_matches_or_beats_at_every_checkpoint_every_seed":
+                beats_every_checkpoint,
+            "ours_steps_to_reference_final_cer_per_seed": steps_to_final,
+            "time_to_matched_cer_ratio": {
+                "per_seed": ttm_ratios,
+                "mean": float(np.mean(ttm_ratios)) if ttm_ratios else None,
+                "min": float(min(ttm_ratios)) if ttm_ratios else None,
+            },
+            "wall_clock_ratio": ref_sps / ours_sps,
+        },
+    }
+    with open(AGGREGATE, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps(out["summary"], indent=2))
+    print(f"written {AGGREGATE}")
+
+
 if __name__ == "__main__":
     side = "ours"
     for a in sys.argv[1:]:
         if a.startswith("--side="):
             side = a.split("=", 1)[1]
+        elif a.startswith("--seed="):
+            SEED = int(a.split("=", 1)[1])
         elif a.startswith("--steps="):
             # Deeper runs (e.g. --steps=200,400,800,1600,3200) extend the
             # matched-step grid past the default 800 so the comparison also
@@ -415,10 +527,14 @@ if __name__ == "__main__":
             EVAL_STEPS = tuple(int(s) for s in a.split("=", 1)[1].split(","))
         elif a.startswith("--out="):
             OUT = os.path.join(REPO, "benchmarks", a.split("=", 1)[1])
+    if OUT is None:
+        OUT = os.path.join(REPO, "benchmarks", f"parity_ab_seed{SEED}.json")
     if side == "reference":
         run_reference()
     elif side == "ours":
         run_ours()
+    elif side == "merge-seeds":
+        merge_seeds()
     else:
         with open(OUT) as f:
             print(json.dumps(json.load(f).get("summary"), indent=2))

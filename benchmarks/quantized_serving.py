@@ -41,7 +41,8 @@ S = T_V * 534
 ROUNDS = 10
 
 
-def quality_arm(out):
+def quality_arm(out, steps=STEPS, warmup=300, key="quality", tag=None,
+                sensitivity=False):
     import jax
 
     from multimodal_av_model_tpu.ops.metrics import cer
@@ -58,11 +59,11 @@ def quality_arm(out):
     cfg.model.audio.num_heads = 4
     cfg.model.audio.ffn_dim = 384
     cfg.train.lr_schedule = "warmup_cosine"
-    cfg.train.warmup_steps = 300
-    cfg.train.decay_steps = STEPS
+    cfg.train.warmup_steps = warmup
+    cfg.train.decay_steps = steps
 
     trainer, state, _loss = train_audio_ctc(
-        cfg, tok, seed=SEED, steps=STEPS, n_train_batches=N_TRAIN_BATCHES)
+        cfg, tok, seed=SEED, steps=steps, n_train_batches=N_TRAIN_BATCHES)
 
     eval_utts = utterances(tok, seed=777, n=EVAL_UTTS, corpus="real")
     refs = refs_of(eval_utts, tok)
@@ -76,22 +77,44 @@ def quality_arm(out):
     dq_params = dequantize_tree(qp, sc, dtype=jax.numpy.float32)
     rep = quantization_report(params, qp, sc)
 
-    arm = {"model": "d192x6 Conformer CTC @ 2k steps (quality-ceiling config)",
+    def score(p, algo):
+        st = {"params": p, "batch_stats": state["batch_stats"]}
+        kw = ({} if algo == "greedy"
+              else {"lm": lm, "lm_weight": lm_w, "length_bonus": bonus})
+        real = "prefix_beam" if algo == "prefix_beam_lm" else algo
+        hyps, _ = decode_hyps(trainer, st, pack(eval_utts), tok, real, cfg,
+                              **kw)
+        return round(cer(refs[: len(hyps)], hyps), 4)
+
+    arm = {"model": tag or f"d192x6 Conformer CTC @ {steps} steps "
+                           "(quality-ceiling config)",
            "bytes": rep}
     for name, p in (("fp", state["params"]), ("int8", dq_params)):
-        st = {"params": p, "batch_stats": state["batch_stats"]}
-        for algo, kw in (("greedy", {}),
-                         ("prefix_beam_lm", {"lm": lm, "lm_weight": lm_w,
-                                             "length_bonus": bonus})):
-            real = "prefix_beam" if algo == "prefix_beam_lm" else algo
-            hyps, _ = decode_hyps(trainer, st, pack(eval_utts), tok, real, cfg,
-                                  **kw)
-            arm.setdefault(name, {})[algo] = round(
-                cer(refs[: len(hyps)], hyps), 4)
-        print(f"quality[{name}]: {arm[name]}", flush=True)
+        arm[name] = {algo: score(p, algo)
+                     for algo in ("greedy", "prefix_beam_lm")}
+        print(f"{key}[{name}]: {arm[name]}", flush=True)
     arm["cer_delta_greedy"] = round(arm["int8"]["greedy"]
                                     - arm["fp"]["greedy"], 4)
-    out["quality"] = arm
+    arm["cer_delta_prefix_beam_lm"] = round(
+        arm["int8"]["prefix_beam_lm"] - arm["fp"]["prefix_beam_lm"], 4)
+
+    if sensitivity:
+        # Per-module sensitivity: for each top-level param subtree, keep THAT
+        # subtree fp while everything else is int8.  The module whose
+        # exclusion recovers the most CER is the skip-list candidate.
+        sens = {}
+        for mod in sorted(params):
+            hybrid = dict(dq_params)
+            hybrid[mod] = params[mod]
+            sens[mod] = score(hybrid, "greedy")
+            print(f"{key}[sensitivity] fp-{mod}: cer={sens[mod]}", flush=True)
+        arm["sensitivity_fp_module_greedy"] = sens
+        if arm["cer_delta_greedy"] > 0:
+            best = min(sens, key=sens.get)
+            arm["skip_list_candidate"] = {
+                "module": best, "cer_with_module_fp": sens[best],
+                "recovers": round(arm["int8"]["greedy"] - sens[best], 4)}
+    out[key] = arm
 
 
 def serving_arm(out):
@@ -172,6 +195,15 @@ def main():
         serving_arm(out)
     if "--quality" in which:
         quality_arm(out)
+    if "--hard" in which:
+        # VERDICT r3 weak #7: a CER-0.04 AM shrugs off weight noise by
+        # construction; measure the int8 delta where decode rankings are
+        # fragile — the same architecture stopped far from convergence —
+        # including under LM-fused prefix beam, with per-module sensitivity.
+        quality_arm(out, steps=500, warmup=150, key="quality_hard_am",
+                    tag="d192x6 Conformer CTC @ 500 steps (hard operating "
+                        "point: far from converged)",
+                    sensitivity=True)
     with open(path, "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))

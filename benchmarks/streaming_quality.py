@@ -14,9 +14,17 @@ the real CER cost of (1) and the benefit of the streaming beam:
   stream_greedy      chunked forward (chunk 1 s, context 4 s) + greedy
   stream_beam        chunked forward + streaming prefix beam
 
-on a tiny audio-only CTC model trained on the real-text chord corpus
-(data/structured.RealTextStructuredSource — real AI-Hub transcripts,
-800-way char distribution).  Writes benchmarks/streaming_quality.json.
+Measured at TWO operating points of the same architecture family on the
+real-transcript chord corpus (data/structured.RealTextStructuredSource —
+real AI-Hub transcripts, 800-way char vocab):
+
+* ``converged`` — the quality-ceiling AM (d=192x6, warmup-cosine, 2k steps,
+  CER ~0.04 offline; the operating point of benchmarks/quality_ceiling.json)
+  — the HEADLINE: truncation cost where a production system actually runs.
+* ``weak_am`` — d=96x4 @ 700 steps (CER ~0.76), the pre-round-4 measurement
+  point, kept because decode-search effects are largest on a flat posterior.
+
+Writes benchmarks/streaming_quality.json.  Run on the TPU.
 """
 
 import json
@@ -26,110 +34,35 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-STEPS = 700
-BATCH = 8
-MAX_CHARS = 7
-MAX_SAMPLES = 7 * 4 * 534        # chars x frames/token x samples/frame
+from audio_harness import (  # noqa: E402
+    BATCH, decode_hyps, load_tokenizer, pack, refs_of, tiny_audio_cfg,
+    train_audio_ctc, utterances,
+)
+
 EVAL_UTTS = 96
 CHUNK_S = 1.0
 CONTEXT_S = 4.0
 
 
-def utterances(tok, seed, n):
-    from multimodal_av_model_tpu.data.structured import (
-        RealTextStructuredSource,
-        load_reference_sentences,
-    )
-
-    sents = load_reference_sentences("/root/reference/input_texts")
-    src = RealTextStructuredSource(tok, sents, seed=seed, max_chars=MAX_CHARS)
-    out = []
-    for _ in range(n):
-        audio, _lip, label = src.one_utterance()
-        out.append((audio[:MAX_SAMPLES], label))
-    return out
-
-
-def batches(utts, batch):
-    for i in range(0, len(utts) - batch + 1, batch):
-        chunk = utts[i : i + batch]
-        inputs = np.zeros((batch, MAX_SAMPLES), np.float32)
-        meta = np.zeros((batch, MAX_SAMPLES), bool)
-        labels = np.zeros((batch, 8), np.int32)
-        llen = np.zeros((batch,), np.int32)
-        for j, (a, lab) in enumerate(chunk):
-            inputs[j, : len(a)] = a
-            meta[j, : len(a)] = True
-            lab = lab[:8]
-            labels[j, : len(lab)] = lab
-            llen[j] = len(lab)
-        yield {"inputs": inputs, "meta": meta,
-               "labels": labels, "label_lengths": llen}
-
-
-def main():
+def run_operating_point(name, cfg, tok, steps):
     import jax
 
-    from multimodal_av_model_tpu.config import Config
     from multimodal_av_model_tpu.ops.metrics import cer
     from multimodal_av_model_tpu.streaming import StreamingAudioTranscriber
-    from multimodal_av_model_tpu.text import CharTokenizer
-    from multimodal_av_model_tpu.train.single_modality import make_audio_trainer
 
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    tok = CharTokenizer(os.path.join(root, "assets", "tokenizer800.vocab"))
+    trainer, state, _loss = train_audio_ctc(
+        cfg, tok, seed=0, steps=steps, n_train_batches=120)
+    eval_utts = utterances(tok, seed=777, n=EVAL_UTTS)
+    refs = refs_of(eval_utts, tok)
 
-    cfg = Config()
-    cfg.model.decoder.vocab_size = tok.vocab_size
-    cfg.model.audio.d_model = 96
-    cfg.model.audio.num_layers = 4
-    cfg.model.audio.num_heads = 4
-    cfg.model.audio.ffn_dim = 192
-    cfg.model.audio.output_dim = 96
-    cfg.model.audio.middle_layers = (1, 2)
-    cfg.train.learning_rate = 1e-3
-    trainer = make_audio_trainer(cfg, tok)
-
-    train_utts = utterances(tok, seed=0, n=30 * BATCH)
-    train_b = list(batches(train_utts, BATCH))
-    eval_utts = utterances(tok, seed=77, n=EVAL_UTTS)
-
-    state = trainer.init_state(0, train_b[0])
-    t0 = time.time()
-    for i in range(STEPS):
-        state, loss = trainer.train_step(state, train_b[i % len(train_b)])
-    print(f"trained {STEPS} steps, loss={float(loss):.3f} "
-          f"({time.time()-t0:.0f}s)", flush=True)
-
-    refs = [tok.decode(list(lab)) for _, lab in eval_utts]
-
-    # Offline arms: batched full-utterance decode via the trainer path.
-    def offline(algorithm, use_beam):
-        cfg.decode.algorithm = algorithm
-        hyps = []
-        for b in batches(eval_utts, BATCH):
-            lp, il = trainer.eval_forward(state["params"], state["batch_stats"],
-                                          b["inputs"], b["meta"])
-            if use_beam:
-                from multimodal_av_model_tpu.ops.prefix_beam_search import (
-                    prefix_beam_search_decode,
-                )
-
-                ids, lens, _ = prefix_beam_search_decode(
-                    lp, il, cfg.decode.beam_width, cfg.decode.prefix_top_k,
-                    cfg.model.decoder.blank_id)
-            else:
-                from multimodal_av_model_tpu.ops.ctc import ctc_greedy_decode
-
-                ids, lens = ctc_greedy_decode(lp, il, cfg.model.decoder.blank_id)
-            ids, lens = np.asarray(ids), np.asarray(lens)
-            hyps += [tok.decode(ids[j, : lens[j]].tolist())
-                     for j in range(ids.shape[0])]
+    def offline(algorithm):
+        hyps, _ms = decode_hyps(trainer, state, pack(eval_utts), tok,
+                                algorithm, cfg)
         return hyps
 
-    # Streaming arms: feed each utterance in CHUNK_S blocks.
     def streamed(algorithm):
         s = StreamingAudioTranscriber(
             cfg, tok, None, chunk_seconds=CHUNK_S, context_seconds=CONTEXT_S,
@@ -147,28 +80,52 @@ def main():
             hyps.append(text)
         return hyps
 
-    n_round = len(list(batches(eval_utts, BATCH))) * BATCH
     results = {}
-    for name, fn in (
-        ("offline_greedy", lambda: offline("greedy", False)),
-        ("offline_beam", lambda: offline("prefix_beam", True)),
+    for arm, fn in (
+        ("offline_greedy", lambda: offline("greedy")),
+        ("offline_beam", lambda: offline("prefix_beam")),
         ("stream_greedy", lambda: streamed("greedy")),
         ("stream_beam", lambda: streamed("prefix_beam")),
     ):
         t0 = time.time()
         hyps = fn()
         r = refs[: len(hyps)]
-        results[name] = {"cer": round(cer(r, hyps), 4),
-                         "wall_s": round(time.time() - t0, 1)}
-        print(f"{name}: {json.dumps(results[name])}", flush=True)
+        results[arm] = {"cer": round(cer(r, hyps), 4),
+                        "wall_s": round(time.time() - t0, 1)}
+        print(f"{name}/{arm}: {json.dumps(results[arm])}", flush=True)
+    results["truncation_cost_greedy"] = round(
+        results["stream_greedy"]["cer"] - results["offline_greedy"]["cer"], 4)
+    results["stream_beam_recovers"] = round(
+        results["stream_greedy"]["cer"] - results["stream_beam"]["cer"], 4)
+    return {"steps": steps, "model": f"d{cfg.model.audio.d_model}x"
+                                     f"{cfg.model.audio.num_layers}",
+            "results": results}
 
+
+def main():
+    tok = load_tokenizer()
+
+    # Headline: the quality-ceiling operating point (quality_ceiling.json).
+    cfg_big = tiny_audio_cfg(tok, d_model=192, num_layers=6)
+    cfg_big.model.audio.ffn_dim = 384
+    cfg_big.train.lr_schedule = "warmup_cosine"
+    cfg_big.train.warmup_steps = 300
+    cfg_big.train.decay_steps = 2000
+    converged = run_operating_point("converged", cfg_big, tok, steps=2000)
+
+    # Contrast: the weak AM where search effects dominate.
+    cfg_small = tiny_audio_cfg(tok, d_model=96, num_layers=4)
+    weak = run_operating_point("weak_am", cfg_small, tok, steps=700)
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     out = os.path.join(root, "benchmarks", "streaming_quality.json")
     with open(out, "w") as f:
-        json.dump({"steps": STEPS, "chunk_seconds": CHUNK_S,
-                   "context_seconds": CONTEXT_S, "eval_utterances": n_round,
+        json.dump({"chunk_seconds": CHUNK_S, "context_seconds": CONTEXT_S,
+                   "eval_utterances": EVAL_UTTS,
                    "corpus": "real AI-Hub transcripts (two-tone chords)",
-                   "results": results}, f, indent=2)
-    print(json.dumps(results))
+                   "converged": converged, "weak_am": weak}, f, indent=2)
+    print(json.dumps({"converged": converged["results"],
+                      "weak_am": weak["results"]}))
 
 
 if __name__ == "__main__":
