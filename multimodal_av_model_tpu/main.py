@@ -205,14 +205,105 @@ def run_eval(cfg, tokenizer, synthetic: bool) -> None:
     print(json.dumps(report))
 
 
+def run_stream_av(cfg, tokenizer, spec: str) -> None:
+    """Streaming TWO-SPEAKER AV transcription
+    (`--stream=lips1.avi,lips2.avi,mix.wav`): first-party container decode
+    (data/avi.py) → lip preprocessing → chunked flagship forward with
+    carried per-speaker decode state (streaming.StreamingAVTranscriber).
+    Loads a flagship checkpoint from ``train.checkpoint_dir``."""
+    import jax
+
+    from .data.audio_io import read_wav, resample
+    from .data.avi import read_avi
+    from .data.pipeline import preprocess_lip_clip_host
+    from .models import MultiSpeakerAVModel
+    from .streaming import StreamingAVTranscriber
+    from .train.checkpoints import restore_checkpoint
+
+    paths = [p for p in spec.split(",") if p]
+    if len(paths) != 3:
+        raise SystemExit("--stream AV mode takes lips1.avi,lips2.avi,mix.wav")
+    lips_path1, lips_path2, wav_path = paths
+
+    ckpt = os.path.join(cfg.train.checkpoint_dir, "best_wer.ckpt")
+    if not os.path.isfile(ckpt):
+        ckpt = os.path.join(cfg.train.checkpoint_dir, "last.ckpt")
+    if not os.path.isfile(ckpt):
+        raise SystemExit(f"no checkpoint under {cfg.train.checkpoint_dir}")
+
+    dtype = {"bfloat16": jax.numpy.bfloat16, "float32": jax.numpy.float32}[cfg.model.dtype]
+    # decode.stream_*_seconds set the chunk/context like the audio path,
+    # converted to video frames (~30 fps at the shipped 534 samples/frame).
+    spf = cfg.data.audio_samples_per_video_frame
+    fps = cfg.data.sample_rate / spf
+    s = StreamingAVTranscriber(
+        cfg, tokenizer, None, dtype=dtype,
+        chunk_frames=max(1, round(cfg.decode.stream_chunk_seconds * fps)),
+        context_frames=max(1, round(cfg.decode.stream_context_seconds * fps)))
+
+    # Template restore at the streaming window shape (by name, never order).
+    from flax import serialization
+
+    model = MultiSpeakerAVModel(cfg.model, dtype=dtype)
+    F = s.context_frames + s.chunk_frames
+    S = F * spf
+    z_lip = jax.numpy.zeros((1, F, 1, s.lip_size, s.lip_size))
+    z_a = jax.numpy.zeros((1, S))
+    z_m = jax.numpy.full((1, S), 2, jax.numpy.int32)
+    z_l = jax.numpy.full((1,), F, jax.numpy.int32)
+    template = jax.jit(model.init)(
+        jax.random.PRNGKey(0), z_lip, z_lip, z_a, z_m, z_m, z_l, z_l)
+    payload = restore_checkpoint(ckpt)
+    state = payload.get("state", payload)
+    params = state.get("params", state)
+    variables = {"params": serialization.from_state_dict(
+        template["params"], params)}
+    stats = state.get("batch_stats")
+    if stats and "batch_stats" in template:
+        variables["batch_stats"] = serialization.from_state_dict(
+            template["batch_stats"], stats)
+    elif "batch_stats" in template:
+        variables["batch_stats"] = template["batch_stats"]
+    s.variables = variables
+
+    frames1, _fps1 = read_avi(lips_path1)
+    frames2, _fps2 = read_avi(lips_path2)
+    lips1 = preprocess_lip_clip_host(frames1, s.lip_size)
+    lips2 = preprocess_lip_clip_host(frames2, s.lip_size)
+    audio, sr = read_wav(wav_path)
+    if sr != cfg.data.sample_rate:
+        audio = resample(audio, sr, cfg.data.sample_rate)
+
+    spf = cfg.data.audio_samples_per_video_frame
+    block_f = s.chunk_frames
+    n_f = min(lips1.shape[0], lips2.shape[0], len(audio) // spf)
+    print(f"streaming AV {lips_path1}+{lips_path2}+{wav_path} "
+          f"({n_f} frames) with {ckpt}, chunk={block_f} frames")
+    for i in range(0, n_f, block_f):
+        j = min(i + block_f, n_f)
+        t1, t2 = s.feed(lips1[i:j], lips2[i:j], audio[i * spf : j * spf])
+        if t1:
+            print(f"[speaker1] {t1}", flush=True)
+        if t2:
+            print(f"[speaker2] {t2}", flush=True)
+    t1, t2 = s.flush()
+    if t1:
+        print(f"[speaker1] {t1}", flush=True)
+    if t2:
+        print(f"[speaker2] {t2}", flush=True)
+
+
 def run_stream(cfg, tokenizer, wav_path: str) -> None:
     """Long-form serving (`--stream=file.wav`): chunked audio-only
     transcription at ONE static compiled shape (streaming.py) — unbounded
     input never recompiles and latency is bounded by the chunk length.
     `--stream=a.wav,b.wav,...` runs the files as CONCURRENT streams through
     a batched ``StreamingPool`` (one `[n, window]` forward per tick).
-    Loads an audio-family checkpoint (``--family=audio`` training) from
-    ``train.checkpoint_dir``."""
+    `--stream=lips1.avi,lips2.avi,mix.wav` streams the two-speaker AV
+    flagship instead (run_stream_av).  Loads an audio-family checkpoint
+    (``--family=audio`` training) from ``train.checkpoint_dir``."""
+    if any(p.lower().endswith(".avi") for p in wav_path.split(",")):
+        return run_stream_av(cfg, tokenizer, wav_path)
     import jax
 
     from .data.audio_io import read_wav, resample
