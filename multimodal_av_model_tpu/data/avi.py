@@ -22,10 +22,13 @@ Scope:
   (the cv2-gated reader), so ``extract_clips`` consumes either
   interchangeably.
 
-Compressed codecs (H.264/MJPG) are out of scope by design: the decode
-*capability* the pipeline needs is container → frame tensors, and corpora
-prepared for this framework ship uncompressed or pre-extracted media.  A
-clear error names the codec when an unsupported stream is opened.
+Compressed streams: **MJPEG** ('MJPG'/'dmb1') decodes through the
+first-party baseline JPEG decoder (data/jpeg.py — pure NumPy entropy decode
++ vectorized IDCT), so motion-JPEG cameras/corpora work end to end with no
+native codec.  Inter-frame codecs (H.264 etc.) are out of scope by design:
+the decode *capability* the pipeline needs is container → frame tensors,
+and corpora prepared for this framework ship intra-only or pre-extracted
+media.  A clear error names the codec when an unsupported stream is opened.
 """
 
 from __future__ import annotations
@@ -58,41 +61,38 @@ def _dib_frame_bytes(frame_rgb: np.ndarray) -> bytes:
     return rows[::-1].tobytes()                  # bottom-up scan order
 
 
-def write_avi(path: str, frames: np.ndarray, fps: int = 30) -> None:
-    """Write ``[T, H, W, 3]`` uint8 RGB frames as an uncompressed AVI."""
-    frames = np.asarray(frames)
-    if frames.ndim != 4 or frames.shape[-1] != 3 or frames.dtype != np.uint8:
-        raise ValueError(f"expected [T,H,W,3] uint8, got {frames.shape} "
-                         f"{frames.dtype}")
-    T, H, W, _ = frames.shape
-    stride = (W * 3 + 3) & ~3
-    frame_size = stride * H
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    pad = b"\x00" if len(payload) % 2 else b""
+    return tag + struct.pack("<I", len(payload)) + payload + pad
 
-    def chunk(tag: bytes, payload: bytes) -> bytes:
-        pad = b"\x00" if len(payload) % 2 else b""
-        return tag + struct.pack("<I", len(payload)) + payload + pad
 
-    def lst(kind: bytes, payload: bytes) -> bytes:
-        return chunk(b"LIST", kind + payload)
+def _lst(kind: bytes, payload: bytes) -> bytes:
+    return _chunk(b"LIST", kind + payload)
 
+
+def _write_avi_container(path: str, payloads: list, W: int, H: int, fps: int,
+                         handler: bytes, compression: int, chunk_tag: bytes):
+    """Assemble RIFF/AVI from per-frame codec payloads (shared writer core)."""
+    T = len(payloads)
+    buf_size = max((len(p) for p in payloads), default=0)
     avih = struct.pack(
         "<14I",
         1_000_000 // max(fps, 1),   # dwMicroSecPerFrame
-        frame_size * fps,           # dwMaxBytesPerSec
+        buf_size * fps,             # dwMaxBytesPerSec
         0,                          # dwPaddingGranularity
         0x10,                       # dwFlags: AVIF_HASINDEX
         T, 0, 1,                    # dwTotalFrames, dwInitialFrames, dwStreams
-        frame_size,                 # dwSuggestedBufferSize
+        buf_size,                   # dwSuggestedBufferSize
         W, H, 0, 0, 0, 0,           # dwWidth, dwHeight, dwReserved[4]
     )
     strh = (
-        b"vids" + b"DIB " + struct.pack(
+        b"vids" + handler + struct.pack(
             "<IHHIIIIIIII4H",
             0, 0, 0,                # dwFlags, wPriority, wLanguage
             0,                      # dwInitialFrames
             1, fps,                 # dwScale, dwRate  (rate/scale = fps)
             0, T,                   # dwStart, dwLength (frames)
-            frame_size,             # dwSuggestedBufferSize
+            buf_size,               # dwSuggestedBufferSize
             0xFFFFFFFF, 0,          # dwQuality, dwSampleSize
             0, 0, W, H,             # rcFrame
         )
@@ -100,28 +100,51 @@ def write_avi(path: str, frames: np.ndarray, fps: int = 30) -> None:
     strf = struct.pack(
         "<IiiHHIIiiII",
         40, W, H, 1, 24,            # biSize, biWidth, biHeight(+:bottom-up), planes, bpp
-        0,                          # biCompression = BI_RGB
-        frame_size, 0, 0, 0, 0,
+        compression,                # biCompression (0 = BI_RGB)
+        buf_size, 0, 0, 0, 0,
     )
-    hdrl = lst(b"hdrl", chunk(b"avih", avih)
-               + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    hdrl = _lst(b"hdrl", _chunk(b"avih", avih)
+                + _lst(b"strl", _chunk(b"strh", strh) + _chunk(b"strf", strf)))
 
     movi_payload = b"movi"
     index_entries = []
-    for t in range(T):
+    for p in payloads:
         # idx1 offsets are measured from the 'movi' fourcc (first chunk = 4).
-        index_entries.append(len(movi_payload))
-        movi_payload += chunk(b"00db", _dib_frame_bytes(frames[t]))
-    movi = chunk(b"LIST", movi_payload)
+        index_entries.append((len(movi_payload), len(p)))
+        movi_payload += _chunk(chunk_tag, p)
+    movi = _chunk(b"LIST", movi_payload)
 
     idx1 = b"".join(
-        b"00db" + struct.pack("<III", 0x10, off, frame_size)   # AVIIF_KEYFRAME
-        for off in index_entries
+        chunk_tag + struct.pack("<III", 0x10, off, size)   # AVIIF_KEYFRAME
+        for off, size in index_entries
     )
-    body = b"AVI " + hdrl + lst(b"INFO", chunk(b"ISFT", b"mmav_tpu\x00")) \
-        + movi + chunk(b"idx1", idx1)
+    body = b"AVI " + hdrl + _lst(b"INFO", _chunk(b"ISFT", b"mmav_tpu\x00")) \
+        + movi + _chunk(b"idx1", idx1)
     with open(path, "wb") as f:
         f.write(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+def write_avi(path: str, frames: np.ndarray, fps: int = 30) -> None:
+    """Write ``[T, H, W, 3]`` uint8 RGB frames as an uncompressed AVI."""
+    frames = np.asarray(frames)
+    if frames.ndim != 4 or frames.shape[-1] != 3 or frames.dtype != np.uint8:
+        raise ValueError(f"expected [T,H,W,3] uint8, got {frames.shape} "
+                         f"{frames.dtype}")
+    T, H, W, _ = frames.shape
+    payloads = [_dib_frame_bytes(frames[t]) for t in range(T)]
+    _write_avi_container(path, payloads, W, H, fps,
+                         handler=b"DIB ", compression=0, chunk_tag=b"00db")
+
+
+def write_avi_mjpeg(path: str, jpeg_blobs: list, width: int, height: int,
+                    fps: int = 30) -> None:
+    """Write pre-encoded JPEG frames as an MJPEG AVI (pure stdlib container
+    assembly; encoding is the caller's business — tests use PIL, cameras
+    emit the blobs directly)."""
+    _write_avi_container(path, [bytes(b) for b in jpeg_blobs], width, height,
+                         fps, handler=b"MJPG",
+                         compression=int.from_bytes(b"MJPG", "little"),
+                         chunk_tag=b"00dc")
 
 
 # -- reader --------------------------------------------------------------------
@@ -212,12 +235,14 @@ class AviReader:
         walk(file_end)
         if self.width == 0 or not self._offsets:
             raise AviFormatError(f"{self.path}: no decodable video stream")
-        if self.compression not in (0,):         # BI_RGB only (module docstring)
-            codec = struct.pack("<I", self.compression)
+        codec = struct.pack("<I", self.compression)
+        self._mjpeg = codec in (b"MJPG", b"mjpg", b"dmb1", b"jpeg")
+        if self.compression != 0 and not self._mjpeg:
             raise AviFormatError(
                 f"{self.path}: unsupported compression {codec!r}; this "
-                f"first-party decoder handles uncompressed BI_RGB DIB frames")
-        if self.bits != 24:
+                f"first-party decoder handles uncompressed BI_RGB DIB and "
+                f"MJPG frames")
+        if not self._mjpeg and self.bits != 24:
             raise AviFormatError(f"{self.path}: only 24-bit DIB supported, "
                                  f"got {self.bits}")
 
@@ -239,6 +264,13 @@ class AviReader:
         off, size = self._offsets[t]
         self._f.seek(off)
         payload = self._read_exact(size)
+        if self._mjpeg:
+            from .jpeg import decode_jpeg
+
+            rgb = decode_jpeg(payload)
+            if rgb.ndim == 2:                     # grayscale MJPEG stream
+                rgb = np.repeat(rgb[:, :, None], 3, axis=2)
+            return rgb
         W, H = self.width, abs(self.height)
         stride = (W * 3 + 3) & ~3
         if size < stride * H:

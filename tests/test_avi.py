@@ -80,16 +80,17 @@ def test_avi_rejects_non_avi_and_names_unsupported_codec(tmp_path):
     with pytest.raises(AviFormatError):
         AviReader(str(bad))
 
-    # Corrupt the biCompression field to 'MJPG': the error must say so.
-    path = str(tmp_path / "mjpg.avi")
+    # Corrupt the biCompression field to 'H264' (an inter-frame codec this
+    # decoder intentionally does not handle): the error must name it.
+    path = str(tmp_path / "h264.avi")
     write_avi(path, _frames(T=2), fps=30)
     blob = bytearray(open(path, "rb").read())
     i = blob.find(b"strf")
     comp_off = i + 8 + 16               # strf hdr + biSize/biW/biH/planes/bpp
     assert struct.unpack_from("<I", blob, comp_off)[0] == 0
-    blob[comp_off : comp_off + 4] = b"MJPG"
+    blob[comp_off : comp_off + 4] = b"H264"
     open(path, "wb").write(bytes(blob))
-    with pytest.raises(AviFormatError, match="MJPG"):
+    with pytest.raises(AviFormatError, match="H264"):
         AviReader(path)
 
 
