@@ -3,6 +3,8 @@ from .mixing import mix_pair, make_speaker_masks, MASK_OTHER_SOLO, MASK_OVERLAP,
 from .pairs import RandomPairSampler, FixedPairSampler, generate_fixed_pairs
 from .collate import collate_pairs, pick_bucket
 from .pipeline import PrefetchingLoader, SyntheticPairSource, FilePairSource
+from .avi import AviReader, avi_frame_reader, open_video, read_avi, write_avi
+from .jpeg import decode_jpeg
 
 __all__ = [
     "SentenceEntry",
@@ -23,4 +25,10 @@ __all__ = [
     "PrefetchingLoader",
     "SyntheticPairSource",
     "FilePairSource",
+    "AviReader",
+    "avi_frame_reader",
+    "open_video",
+    "read_avi",
+    "write_avi",
+    "decode_jpeg",
 ]
