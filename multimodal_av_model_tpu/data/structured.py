@@ -165,13 +165,22 @@ class RealTextStructuredSource(StructuredPairSource):
     """
 
     def __init__(self, tokenizer, sentences: list[str], seed: int = 0,
-                 max_chars: int = 12, n_base: int = 42, **kw):
+                 max_chars: int = 12, min_chars: int | None = None,
+                 n_base: int = 42, **kw):
         kw.setdefault("frames_per_token", 4)
         super().__init__(tokenizer, seed=seed, **kw)
         if not sentences:
             raise ValueError("need at least one sentence")
         self.sentences = list(sentences)
         self.max_chars = max_chars
+        # Real sentences are almost always longer than max_chars, so a fixed
+        # crop makes every utterance exactly max_chars long — paired
+        # utterances then overlap END TO END and the speaker masks contain
+        # no solo frames (the contrastive/SSL losses degenerate).  Setting
+        # min_chars draws each crop's length uniformly from
+        # [min_chars, max_chars], restoring the solo/overlap mix the
+        # production corpus has (utterances differ in duration).
+        self.min_chars = min_chars
         self.n_base = n_base
         # Chord table: vocab id -> (i, j) pair of base-frequency indices,
         # enumerated deterministically so train/eval sources agree.
@@ -203,9 +212,11 @@ class RealTextStructuredSource(StructuredPairSource):
 
     def one_utterance(self):
         sent = self.sentences[int(self.rng.integers(len(self.sentences)))]
-        if len(sent) > self.max_chars:
-            start = int(self.rng.integers(0, len(sent) - self.max_chars + 1))
-            sent = sent[start : start + self.max_chars]
+        limit = (self.max_chars if self.min_chars is None else
+                 int(self.rng.integers(self.min_chars, self.max_chars + 1)))
+        if len(sent) > limit:
+            start = int(self.rng.integers(0, len(sent) - limit + 1))
+            sent = sent[start : start + limit]
         label = np.asarray(self.tokenizer.encode(sent), np.int64)
         if label.size == 0:
             label = np.asarray(self.tokenizer.encode(" "), np.int64)
