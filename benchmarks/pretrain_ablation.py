@@ -270,11 +270,30 @@ def run_seed(seed: int):
     }
 
 
-def main():
+def seed_path(seed):
+    return os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        f"pretrain_ablation_seed{seed}.json")
+
+
+def main(only_seed=None):
+    # Seeds run (and persist) one at a time so a partial sweep survives a
+    # timeout/preemption: --seed=K runs one seed and writes its own JSON;
+    # the aggregate pass (default, or --aggregate) reuses any seed files
+    # already on disk and fills in the rest.
     per_seed = {}
-    for seed in range(N_SEEDS):
+    seeds = range(N_SEEDS) if only_seed is None else [only_seed]
+    for seed in seeds:
+        if os.path.exists(seed_path(seed)) and only_seed is None:
+            with open(seed_path(seed)) as f:
+                per_seed[str(seed)] = json.load(f)
+            print(f"=== seed {seed} (cached) ===", flush=True)
+            continue
         print(f"=== seed {seed} ===", flush=True)
         per_seed[str(seed)] = run_seed(seed)
+        with open(seed_path(seed), "w") as f:
+            json.dump(per_seed[str(seed)], f, indent=2)
+    if only_seed is not None:
+        return
 
     arms = ("from_scratch", "from_contrastive_only", "from_masked_infonce_ssl")
     agg = {"final_cer": {}, "probe_token_id_on_solo": {}}
@@ -299,7 +318,13 @@ def main():
 
 
 if __name__ == "__main__":
+    only = None
+    aggregate = False
     for a in sys.argv[1:]:
         if a.startswith("--corpus="):
             CORPUS = a.split("=", 1)[1]
-    main()
+        elif a.startswith("--seed="):
+            only = int(a.split("=", 1)[1])
+        elif a == "--aggregate":
+            aggregate = True
+    main(only_seed=None if aggregate else only)
