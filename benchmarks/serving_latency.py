@@ -127,7 +127,10 @@ def main():
         svc = AudioService(t, max_seconds=SECONDS, max_wait_ms=10.0,
                            use_beam=True, **svc_kw)
         for _ in range(WARMUP):            # compile + steady-state
-            svc.transcribe((rng.standard_normal(S) * 0.1).astype(np.float32))
+            # First call compiles the serving step (can exceed the 60 s
+            # default future timeout on a tunneled backend) — wait it out.
+            svc.transcribe((rng.standard_normal(S) * 0.1).astype(np.float32),
+                           timeout=600.0)
         out[arm] = {}
         rates = {"batched": RATES, "batch1": RATES[:2],
                  "overload_bounded": (200,)}[arm]
