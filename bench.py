@@ -138,11 +138,13 @@ def main() -> None:
             "loss": round(final_loss, 4),
         }
 
-    def trainer_for(remat, frozen=False):
+    def trainer_for(remat, frozen=False, activation=None):
         import copy
 
         c = copy.deepcopy(cfg)
         c.model.visual.remat = remat
+        if activation is not None:
+            c.model.visual.activation = activation
         m = MultiSpeakerAVModel(c.model, dtype=jax.numpy.bfloat16)
         return MultiSpeakerTrainer(
             c, m, tok,
@@ -157,6 +159,12 @@ def main() -> None:
     # drops its backward (~2/3 of the visual FLOPs).  Reported separately —
     # the headline stays FULL training, like-for-like with the CPU baseline.
     frozen = measure(trainer_for("none", frozen=True), FROZEN_BATCH)
+
+    # Speed-first recipe (the reference's own relu_type option,
+    # model/encoder.py:7): visual.activation=relu drops 17 per-channel PReLU
+    # alpha-grad reduction passes.  Reported separately — the headline stays
+    # the shipped default (prelu, weight-compat with the reference trunk).
+    speed_first = measure(trainer_for("frontend", activation="relu"), 32)
 
     best_bs = max((b for b, _ in BATCHES),
                   key=lambda b: results[b]["utt_per_sec"])
@@ -180,6 +188,12 @@ def main() -> None:
                 "batch": FROZEN_BATCH,
                 **{k: (round(v, 3) if isinstance(v, float) else v)
                    for k, v in frozen.items()},
+            },
+            "speed_first_relu": {
+                "batch": 32, "visual_remat": "frontend",
+                "activation": "relu",
+                **{k: (round(v, 3) if isinstance(v, float) else v)
+                   for k, v in speed_first.items()},
             },
             "mfu_note": f"vs {device_kind} bf16 spec peak" if peak else "no peak table entry",
             "device": str(jax.devices()[0]),
