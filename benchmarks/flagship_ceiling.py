@@ -1,0 +1,178 @@
+#!/usr/bin/env python
+"""Flagship quality ceiling ON THE MIXTURE TASK: the reference's own job.
+
+quality_ceiling.py answers "how good does the framework get with budget the
+reference cannot afford" — but on single-speaker clean audio, an easier task
+than the one the reference performs (reference model/trainer.py:179-252
+evaluates per-speaker transcripts decoded from a two-speaker MIXTURE).
+This benchmark runs the same deepening protocol on the real task: the
+flagship MultiSpeakerAVModel (lips + mixture + speaker masks), real-
+transcript chord corpus, step grid to convergence, greedy vs prefix-beam vs
+prefix-beam+LM decodes, per-speaker CER on held-out pairs.
+
+Model/recipe/corpus are shared with benchmarks/av_ablation.py (the ablation
+proves the lips CARRY the capability; this gives the converged operating
+point and the decoder comparison at it).  Writes
+benchmarks/flagship_ceiling.json.  Run on the TPU.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from av_ablation import (  # noqa: E402
+    BATCH, EVAL_BATCHES, batch_stream, load_tokenizer, make_cfg,
+)
+
+SEED = 0
+STEP_GRID = (500, 1000, 2000, 4000, 8000)
+TRAIN_BATCHES = 120
+LM_WEIGHT = 0.3
+
+
+def decode_all(cfg, log_probs, lengths, algo, lm=None, lm_weight=0.0,
+               length_bonus=0.0):
+    from multimodal_av_model_tpu.ops.ctc import ctc_greedy_decode
+    from multimodal_av_model_tpu.ops.prefix_beam_search import (
+        prefix_beam_search_decode,
+    )
+
+    if algo == "greedy":
+        return ctc_greedy_decode(log_probs, lengths,
+                                 cfg.model.decoder.blank_id)
+    ids, out_len, _ = prefix_beam_search_decode(
+        log_probs, lengths, cfg.decode.beam_width, cfg.decode.prefix_top_k,
+        cfg.model.decoder.blank_id, lm=lm, lm_weight=lm_weight,
+        length_bonus=length_bonus)
+    return ids, out_len
+
+
+def main():
+    import jax
+
+    from multimodal_av_model_tpu.data.structured import (
+        load_reference_sentences,
+    )
+    from multimodal_av_model_tpu.models import MultiSpeakerAVModel
+    from multimodal_av_model_tpu.ops.metrics import cer
+    from multimodal_av_model_tpu.text.ngram_lm import (
+        mean_token_logprob, train_bigram_lm,
+    )
+    from multimodal_av_model_tpu.train import MultiSpeakerTrainer
+
+    tok = load_tokenizer()
+    cfg = make_cfg(tok)
+    cfg.train.decay_steps = STEP_GRID[-1]
+
+    model = MultiSpeakerAVModel(cfg.model, dtype=jax.numpy.bfloat16)
+    trainer = MultiSpeakerTrainer(cfg, model, tok)
+
+    train_b = batch_stream(tok, 10, TRAIN_BATCHES)
+    eval_b = batch_stream(tok, 777, EVAL_BATCHES)
+
+    seqs = [tok.encode(s) for s in
+            load_reference_sentences("/root/reference/input_texts")]
+    lm = train_bigram_lm(seqs, tok.vocab_size)
+    bonus = -LM_WEIGHT * mean_token_logprob(lm, seqs)
+
+    state = trainer.init_state(SEED, train_b[0])
+    curve = {}
+    t_train, step = 0.0, 0
+    for target in STEP_GRID:
+        t0 = time.time()
+        while step < target:
+            state, metrics = trainer.train_step(
+                state, trainer._place(train_b[step % len(train_b)]))
+            step += 1
+        loss = float(metrics["loss"])   # sync once per segment
+        t_train += time.time() - t0
+        point = {"train_loss": round(loss, 4),
+                 "train_wall_s": round(t_train, 1)}
+        # One forward per batch; three decodes share the log-probs.
+        outs = [trainer.eval_step(state, trainer._place(b))[1]
+                for b in eval_b]
+        for algo, kw in (("greedy", {}), ("prefix_beam", {}),
+                         ("prefix_beam_lm",
+                          {"lm": lm, "lm_weight": LM_WEIGHT,
+                           "length_bonus": bonus})):
+            real = "prefix_beam" if algo == "prefix_beam_lm" else algo
+            refs = {1: [], 2: []}
+            hyps = {1: [], 2: []}
+            t_d = time.time()
+            for b, out in zip(eval_b, outs):
+                for s in (1, 2):
+                    ids, ln = decode_all(cfg, out[f"log_probs{s}"],
+                                         out[f"input_lengths{s}"], real, **kw)
+                    ids, ln = np.asarray(ids), np.asarray(ln)
+                    t, lt = np.asarray(b[f"text{s}"]), \
+                        np.asarray(b[f"text{s}_lengths"])
+                    for i in range(ids.shape[0]):
+                        hyps[s].append(tok.decode(ids[i, : ln[i]].tolist()))
+                        refs[s].append(tok.decode(t[i, : lt[i]].tolist()))
+            n_utt = len(hyps[1]) + len(hyps[2])
+            point[algo] = {
+                "cer": round(cer(refs[1] + refs[2], hyps[1] + hyps[2]), 4),
+                "cer1": round(cer(refs[1], hyps[1]), 4),
+                "cer2": round(cer(refs[2], hyps[2]), 4),
+                "decode_ms_per_utt": round(
+                    (time.time() - t_d) * 1000 / n_utt, 2),
+            }
+        curve[str(target)] = point
+        print(f"step {target}: loss={point['train_loss']:.3f} "
+              f"greedy={point['greedy']['cer']:.4f} "
+              f"beam={point['prefix_beam']['cer']:.4f} "
+              f"beam+lm={point['prefix_beam_lm']['cer']:.4f} "
+              f"({t_train:.0f}s train)", flush=True)
+
+    best = min(float(p[a]["cer"]) for p in curve.values()
+               for a in ("greedy", "prefix_beam", "prefix_beam_lm"))
+    out = {
+        "task": "two-speaker mixture -> per-speaker transcripts "
+                "(reference model/trainer.py:179-252)",
+        "corpus": "real AI-Hub transcripts as two-tone chords, lips carry "
+                  "the target chord (benchmarks/av_ablation.py corpus)",
+        "model": {"d_audio": cfg.model.audio.d_model,
+                  "audio_layers": cfg.model.audio.num_layers,
+                  "params_m": round(sum(
+                      np.asarray(x).size
+                      for x in jax.tree.leaves(state.params)) / 1e6, 2)},
+        "train": {"batch": BATCH, "pairs": TRAIN_BATCHES * BATCH,
+                  "seed": SEED, "lr_schedule": "warmup_cosine",
+                  "device": str(jax.devices()[0])},
+        "eval_pairs": EVAL_BATCHES * BATCH,
+        "curve": curve,
+        "best_cer": best,
+        "context": {
+            "parity_grid_plateau": "the constant-LR parity A/B plateaus at "
+                                   "CER ~0.88-0.93 on the mixture task "
+                                   "(benchmarks/parity_ab.json, both stacks)",
+            "single_speaker_ceiling": "CER 0.038 on clean single-speaker "
+                                      "audio (quality_ceiling.json)",
+        },
+    }
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "flagship_ceiling.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=1)
+    print("wrote", path)
+
+    # Converged operating point for downstream benchmarks (streaming AV
+    # quality reuses this checkpoint instead of retraining).
+    import pickle
+
+    with open("/tmp/flagship_ceiling_params.pkl", "wb") as f:
+        pickle.dump({"params": jax.device_get(state.params),
+                     "batch_stats": jax.device_get(state.batch_stats),
+                     "config_note": "benchmarks/av_ablation.make_cfg"}, f)
+    print("saved /tmp/flagship_ceiling_params.pkl")
+
+
+if __name__ == "__main__":
+    main()

@@ -411,6 +411,93 @@ def run_ours():
             })
 
 
+def run_ours_production():
+    """Our side at the SHIPPED DEFAULT dims (96² lips, 12x512 audio, BiLSTM
+    fusion — config.py defaults), same corpus content / steps / eval as the
+    reduced-shape parity arm.  The reduced dims were justified by the 1-core
+    CPU reference arm; this leg shows the production config is not hiding a
+    regression behind them (VERDICT r4 weak #4).  Writes
+    parity_ab_production.json; merge-seeds folds a production_shape section
+    into parity_ab.json asserting CER <= the reduced-shape mean per step.
+
+    Corpus: identical pair stream except lip_size=96 (the production input
+    contract) — same tones, same labels, same masks, same seeds.
+    LR: 3e-4 constant instead of the grid's 1e-3 — the width-scaled value
+    measured for d>=512 towers (benchmarks/w2v2_quality.py: 1e-3 leaves
+    them on the all-blank plateau); recorded in the JSON.
+    """
+    import jax
+
+    from multimodal_av_model_tpu.config import Config
+    from multimodal_av_model_tpu.data.collate import BucketSpec, collate_pairs
+    from multimodal_av_model_tpu.data.structured import StructuredPairSource
+    from multimodal_av_model_tpu.models import MultiSpeakerAVModel
+    from multimodal_av_model_tpu.train import MultiSpeakerTrainer
+
+    tokenizer = load_tokenizer()
+    lr = 3e-4
+    cfg = Config()
+    cfg.model.decoder.vocab_size = tokenizer.vocab_size
+    cfg.train.learning_rate = lr
+    cfg.train.audio_learning_rate = lr
+
+    def prod_batches(seed, n_batches):
+        src = StructuredPairSource(
+            tokenizer, seed=seed, lip_size=96,
+            frames_per_token=FRAMES_PER_TOKEN, label_len=LABEL_LEN)
+        spec = BucketSpec(VIDEO_BUCKET, AUDIO_SAMPLES, MAX_LABEL)
+        for _ in range(n_batches):
+            yield collate_pairs([src.load_pair() for _ in range(BATCH)], spec)
+
+    model = MultiSpeakerAVModel(cfg.model, dtype=jax.numpy.bfloat16)
+    trainer = MultiSpeakerTrainer(cfg, model, tokenizer)
+    eval_b = list(prod_batches(SEED + 1, EVAL_PAIRS // BATCH))
+    first = next(iter(prod_batches(SEED, 1)))
+    state = trainer.init_state(SEED, first)
+
+    def decode_batch(batch):
+        _, out = trainer.eval_step(state, trainer._place(batch))
+        ids1 = np.asarray(out["greedy1"]); n1 = np.asarray(out["greedy1_len"])
+        ids2 = np.asarray(out["greedy2"]); n2 = np.asarray(out["greedy2_len"])
+        return ([list(ids1[b, : n1[b]]) for b in range(ids1.shape[0])],
+                [list(ids2[b, : n2[b]]) for b in range(ids2.shape[0])])
+
+    cers, times = {}, []
+    step = 0
+    for batch in prod_batches(SEED, max(EVAL_STEPS)):
+        placed = trainer._place(batch)
+        t0 = time.perf_counter()
+        state, metrics = trainer.train_step(state, placed)
+        loss = float(metrics["loss"])
+        times.append(time.perf_counter() - t0)
+        step += 1
+        if step % 100 == 0:
+            print(f"[prod {step}] loss={loss:.4f} "
+                  f"sec/step={np.mean(times[-20:]):.3f}", flush=True)
+        if step in EVAL_STEPS:
+            c = eval_cer(tokenizer, decode_batch, eval_b)
+            cers[str(step)] = c
+            print(f"[prod eval @{step}] cer={c:.4f}", flush=True)
+            payload = {
+                "cer": cers,
+                "sec_per_step": float(np.mean(sorted(times)[: max(
+                    len(times) - 5, 1)])),
+                "device": str(jax.devices()[0]),
+                "dims": {"lip": 96, "d_audio": cfg.model.audio.d_model,
+                         "audio_layers": cfg.model.audio.num_layers,
+                         "fused": cfg.model.fusion.fused_dim,
+                         "temporal": cfg.model.fusion.temporal_model},
+                "lr": lr,
+                "lr_note": "width-scaled constant LR (1e-3 leaves d>=512 "
+                           "towers on the all-blank plateau, "
+                           "benchmarks/w2v2_quality.py)",
+                "seed": SEED,
+            }
+            with open(os.path.join(REPO, "benchmarks",
+                                   "parity_ab_production.json"), "w") as f:
+                json.dump(payload, f, indent=2)
+
+
 # -- multi-seed aggregation ----------------------------------------------------
 
 def merge_seeds():
@@ -498,6 +585,17 @@ def merge_seeds():
         "summary": {
             "ours_matches_or_beats_at_every_checkpoint_every_seed":
                 beats_every_checkpoint,
+            # The seed-mean curve comparison at every step where both sides
+            # have >= 1 seed: the per-seed flag above can flip on a single
+            # near-floor checkpoint inside seed noise, so the mean-curve
+            # verdict (with the per-seed one printed beside it) is the
+            # honest headline.
+            "mean_matches_or_beats_at_every_step": all(
+                out_mean <= ref_mean
+                for st, ref_mean in
+                stat_curves("reference")["cer_mean"].items()
+                for out_mean in [stat_curves("ours")["cer_mean"].get(st)]
+                if out_mean is not None),
             "ours_steps_to_reference_final_cer_per_seed": steps_to_final,
             "time_to_matched_cer_ratio": {
                 "per_seed": ttm_ratios,
@@ -507,9 +605,35 @@ def merge_seeds():
             "wall_clock_ratio": ref_sps / ours_sps,
         },
     }
+    # Production-shape leg (ours only, VERDICT r4 weak #4): the shipped
+    # default dims must match-or-beat the reduced-shape mean at every step.
+    prod_path = os.path.join(REPO, "benchmarks", "parity_ab_production.json")
+    if os.path.isfile(prod_path):
+        with open(prod_path) as f:
+            prod = json.load(f)
+        ours_mean = out["ours"]["cer_mean"]
+        rows = {st: {"production": c, "reduced_shape_mean": ours_mean[st],
+                     "matches_or_beats": c <= ours_mean[st]}
+                for st, c in prod["cer"].items() if st in ours_mean}
+        out["production_shape"] = {
+            **{k: prod[k] for k in ("dims", "lr", "lr_note", "sec_per_step",
+                                    "seed") if k in prod},
+            "cer": prod["cer"],
+            "vs_reduced_shape": rows,
+            "matches_or_beats_at_every_step": all(
+                r["matches_or_beats"] for r in rows.values()),
+            "note": "reference arm stays at reduced dims (a 1-core CPU "
+                    "torch stack cannot run 96² lips x 12x512 audio in "
+                    "benchmark time); this leg certifies OUR side only",
+        }
+
     with open(AGGREGATE, "w") as f:
         json.dump(out, f, indent=2)
     print(json.dumps(out["summary"], indent=2))
+    if "production_shape" in out:
+        print(json.dumps({"production_shape_matches_or_beats":
+                          out["production_shape"]
+                          ["matches_or_beats_at_every_step"]}))
     print(f"written {AGGREGATE}")
 
 
@@ -533,6 +657,8 @@ if __name__ == "__main__":
         run_reference()
     elif side == "ours":
         run_ours()
+    elif side == "ours-production":
+        run_ours_production()
     elif side == "merge-seeds":
         merge_seeds()
     else:

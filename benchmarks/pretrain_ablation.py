@@ -78,6 +78,32 @@ def make_config():
 
 CORPUS = "real"                # --corpus=tone for the legacy pure-tone corpus
 
+# Labeled-budget grid for the scarcity sweep (--scarcity): number of
+# finetune BATCHES kept -> labeled utterances (each batch = 8 pairs = 16
+# transcripts).  SSL's actual claim (why the reference downloads a 960-hour
+# checkpoint, reference model/encoder.py:81-87) is gains when labeled data
+# is scarce — the main ablation finetunes on a generous 640-utterance set
+# and reports a null; this grid tests the regime the claim lives in.
+SCARCITY_BATCHES = ((3, 48), (12, 192), (60, 960))
+
+
+def fingerprint():
+    """Stamped into every seed-cache file and verified at aggregate time, so
+    the aggregate can never silently fold a seed file produced by a
+    different corpus or budget (advisor r4)."""
+    return {"corpus": CORPUS, "pretrain_steps": PRETRAIN_STEPS,
+            "finetune_steps": FINETUNE_STEPS, "batch": BATCH,
+            "bucket_frames": BUCKET_FRAMES}
+
+
+def check_fingerprint(path, data):
+    got = data.get("fingerprint")
+    if got != fingerprint():
+        raise SystemExit(
+            f"{path}: fingerprint {got} != current {fingerprint()} — "
+            f"stale seed cache from a different corpus/config; delete it or "
+            f"re-run that seed before aggregating")
+
 
 def batch_stream(tok, seed, n_batches):
     from multimodal_av_model_tpu.data.collate import BucketSpec
@@ -254,6 +280,7 @@ def run_seed(seed: int):
         return None
 
     return {
+        "fingerprint": fingerprint(),
         "pretrain_steps": PRETRAIN_STEPS,
         "pretrain_final_loss": {"contrastive_only": round(loss_b, 4),
                                 "masked_infonce_ssl": round(loss_c, 4)},
@@ -270,56 +297,182 @@ def run_seed(seed: int):
     }
 
 
-def seed_path(seed):
+def run_scarcity_seed(seed: int):
+    """SSL where wav2vec2's claim lives: labeled-data scarcity.
+
+    One fixed-budget SSL pretrain (arm C, unlabeled audio), then for each
+    labeled budget in SCARCITY_BATCHES finetune {scratch, SSL-init} for
+    FINETUNE_STEPS cycling over just that labeled subset; CER on the same
+    held-out set.  Final AND best-checkpoint CER are reported: tiny labeled
+    sets overfit, and "best over the step grid" is the operating point a
+    practitioner with a val set would pick.
+    """
+    import jax
+
+    from multimodal_av_model_tpu.models import MultiSpeakerAVModel
+    from multimodal_av_model_tpu.text import CharTokenizer
+    from multimodal_av_model_tpu.train import MultiSpeakerTrainer, graft_subtree
+    from multimodal_av_model_tpu.train.ssl_pretrain import (
+        MaskedAudioPretrainer,
+        flagship_audio_params,
+    )
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    tok = CharTokenizer(os.path.join(root, "assets", "tokenizer800.vocab"))
+
+    pre_batches = batch_stream(tok, seed=1000 * seed, n_batches=40)
+    ft_full = batch_stream(tok, seed=1000 * seed + 10,
+                           n_batches=max(n for n, _ in SCARCITY_BATCHES))
+    val_batches = batch_stream(tok, seed=1000 * seed + 99, n_batches=4)
+
+    cfg = make_config()
+    cfg.model.decoder.vocab_size = tok.vocab_size
+    ssl = MaskedAudioPretrainer(cfg)
+    ssl_state = ssl.init_state(seed, pre_batches[0])
+    t0 = time.time()
+    stream = (pre_batches[i % len(pre_batches)] for i in range(PRETRAIN_STEPS))
+    ssl_state = ssl.fit(ssl_state, stream, log_every=200)
+    print(f"SSL pretrain: {PRETRAIN_STEPS} steps, loss "
+          f"{ssl_state['last_loss']:.4f} ({time.time() - t0:.0f}s)", flush=True)
+    params_c = {"audio_encoder":
+                flagship_audio_params(jax.device_get(ssl_state["params"]))}
+
+    def finetune(graft_source, keys, batches):
+        cfg_ft = make_config()
+        cfg_ft.model.decoder.vocab_size = tok.vocab_size
+        trainer = MultiSpeakerTrainer(
+            cfg_ft, MultiSpeakerAVModel(cfg_ft.model), tok)
+        st = trainer.init_state(1 + seed, batches[0])
+        if graft_source is not None:
+            st = st.replace(params=graft_subtree(
+                jax.device_get(st.params), graft_source, keys))
+        final = best = None
+        for i in range(FINETUNE_STEPS):
+            st, _ = trainer.train_step(
+                st, trainer._place(batches[i % len(batches)]))
+            if (i + 1) % EVAL_EVERY == 0:
+                _, _, c, _ = trainer.evaluate(val_batches, st, use_beam=False)
+                final = c
+                best = c if best is None else min(best, c)
+        return {"final_cer": round(final, 4), "best_cer": round(best, 4)}
+
+    out = {}
+    for n_b, n_utts in SCARCITY_BATCHES:
+        sub = ft_full[:n_b]
+        res = {"labeled_utterances": n_utts,
+               "from_scratch": finetune(None, [], sub),
+               "from_ssl": finetune(params_c, ["audio_encoder"], sub)}
+        out[str(n_utts)] = res
+        print(f"labeled={n_utts}: scratch={res['from_scratch']} "
+              f"ssl={res['from_ssl']}", flush=True)
+    return {"fingerprint": fingerprint(), "scarcity": out}
+
+
+def seed_path(seed, kind=""):
     return os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        f"pretrain_ablation_seed{seed}.json")
+                        f"pretrain_ablation_{kind}seed{seed}.json"
+                        if kind else f"pretrain_ablation_seed{seed}.json")
 
 
-def main(only_seed=None):
-    # Seeds run (and persist) one at a time so a partial sweep survives a
-    # timeout/preemption: --seed=K runs one seed and writes its own JSON;
-    # the aggregate pass (default, or --aggregate) reuses any seed files
-    # already on disk and fills in the rest.
+def _collect_seeds(only_seed, kind, runner):
+    """Run (or load cached) per-seed results; persist each to its own file."""
     per_seed = {}
     seeds = range(N_SEEDS) if only_seed is None else [only_seed]
     for seed in seeds:
-        if os.path.exists(seed_path(seed)) and only_seed is None:
-            with open(seed_path(seed)) as f:
+        path = seed_path(seed, kind)
+        if os.path.exists(path) and only_seed is None:
+            with open(path) as f:
                 per_seed[str(seed)] = json.load(f)
+            check_fingerprint(path, per_seed[str(seed)])
             print(f"=== seed {seed} (cached) ===", flush=True)
             continue
         print(f"=== seed {seed} ===", flush=True)
-        per_seed[str(seed)] = run_seed(seed)
-        with open(seed_path(seed), "w") as f:
+        per_seed[str(seed)] = runner(seed)
+        with open(path, "w") as f:
             json.dump(per_seed[str(seed)], f, indent=2)
-    if only_seed is not None:
-        return
+    return per_seed
+
+
+def main(only_seed=None, scarcity=False):
+    # Seeds run (and persist) one at a time so a partial sweep survives a
+    # timeout/preemption: --seed=K runs one seed and writes its own JSON;
+    # the aggregate pass (--aggregate) reuses seed files already on disk
+    # (fingerprint-verified) and fills in the rest.
+    if scarcity:
+        per_seed = _collect_seeds(only_seed, "scarcity_", run_scarcity_seed)
+        if only_seed is not None:
+            return
+    else:
+        per_seed = _collect_seeds(only_seed, "", run_seed)
+        if only_seed is not None:
+            return
 
     arms = ("from_scratch", "from_contrastive_only", "from_masked_infonce_ssl")
     agg = {"final_cer": {}, "probe_token_id_on_solo": {}}
+    main_seeds = _collect_seeds(None, "", run_seed) if scarcity else per_seed
     for arm in arms:
-        finals = [per_seed[s]["finetune"][arm][-1]["cer"] for s in per_seed]
+        finals = [main_seeds[s]["finetune"][arm][-1]["cer"] for s in main_seeds]
         agg["final_cer"][arm] = {"mean": round(float(np.mean(finals)), 4),
                                  "std": round(float(np.std(finals)), 4),
                                  "per_seed": finals}
     for init in ("random_init", "contrastive_only", "masked_infonce_ssl"):
-        accs = [per_seed[s]["probe_acc"][init]["token_id_on_solo"]
-                for s in per_seed]
+        accs = [main_seeds[s]["probe_acc"][init]["token_id_on_solo"]
+                for s in main_seeds]
         agg["probe_token_id_on_solo"][init] = {
             "mean": round(float(np.mean(accs)), 4),
             "std": round(float(np.std(accs)), 4)}
 
+    doc = {"n_seeds": N_SEEDS, "corpus": CORPUS,
+           "fingerprint": fingerprint(),
+           "per_seed": main_seeds, "aggregate": agg}
+
+    # Fold in any completed scarcity seeds (labeled-data-scarcity sweep).
+    sc_seeds = {}
+    for seed in range(N_SEEDS):
+        path = seed_path(seed, "scarcity_")
+        if os.path.exists(path):
+            with open(path) as f:
+                sc_seeds[str(seed)] = json.load(f)
+            check_fingerprint(path, sc_seeds[str(seed)])
+    if scarcity:
+        sc_seeds.update(per_seed)
+    if sc_seeds:
+        sizes = sorted({int(k) for d in sc_seeds.values()
+                        for k in d["scarcity"]})
+        sc_agg = {}
+        for size in sizes:
+            row = {}
+            for arm in ("from_scratch", "from_ssl"):
+                for metric in ("final_cer", "best_cer"):
+                    vals = [d["scarcity"][str(size)][arm][metric]
+                            for d in sc_seeds.values()
+                            if str(size) in d["scarcity"]]
+                    row[f"{arm}_{metric}"] = {
+                        "mean": round(float(np.mean(vals)), 4),
+                        "std": round(float(np.std(vals)), 4),
+                        "per_seed": vals}
+            row["ssl_wins_on_best"] = (row["from_ssl_best_cer"]["mean"]
+                                       < row["from_scratch_best_cer"]["mean"])
+            sc_agg[str(size)] = row
+        doc["labeled_scarcity"] = {
+            "n_seeds": len(sc_seeds), "per_seed": sc_seeds,
+            "aggregate": sc_agg,
+            "note": ("labeled budget = utterances with transcripts available "
+                     "to the finetune; SSL pretrain budget fixed at "
+                     f"{PRETRAIN_STEPS} steps on 640 unlabeled utterances")}
+        agg["labeled_scarcity"] = sc_agg
+
     out = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "pretrain_ablation.json")
     with open(out, "w") as f:
-        json.dump({"n_seeds": N_SEEDS, "corpus": CORPUS,
-                   "per_seed": per_seed, "aggregate": agg}, f, indent=2)
+        json.dump(doc, f, indent=2)
     print(json.dumps(agg))
 
 
 if __name__ == "__main__":
     only = None
     aggregate = False
+    scarcity = False
     for a in sys.argv[1:]:
         if a.startswith("--corpus="):
             CORPUS = a.split("=", 1)[1]
@@ -327,4 +480,10 @@ if __name__ == "__main__":
             only = int(a.split("=", 1)[1])
         elif a == "--aggregate":
             aggregate = True
-    main(only_seed=None if aggregate else only)
+        elif a == "--scarcity":
+            scarcity = True
+    if aggregate and only is not None:
+        raise SystemExit("--seed with --aggregate is ambiguous: the "
+                         "aggregate pass loads ALL cached seeds; run the "
+                         "seed first, then aggregate without --seed")
+    main(only_seed=None if aggregate else only, scarcity=scarcity)

@@ -29,53 +29,80 @@ MAX_BATCH = 32
 WARMUP = 3
 
 
-def run_load(svc, rate, duration, rng):
-    """Poisson arrivals at ``rate`` for ``duration`` s.  Returns
-    ``(admitted_latencies_ms, n_rejected, n_shed)``: rejected = refused at
-    submit (Overloaded, bounded-queue arm only), shed = accepted then
-    deadline-shed before execution."""
+def run_load(svc, rate, duration, rng, waves):
+    """Poisson arrivals at ``rate`` for ``duration`` s.
+
+    The generator must actually OFFER the nominal rate, or an admission
+    policy is blamed for the generator's own ceiling (round-4 bug: a fresh
+    ``standard_normal(128000)`` per request + relative sleeps capped the
+    offered load near ~95 rps while claiming 200, so the bounded arm read as
+    shedding half the chip).  Hence: a pre-generated wave pool (zero
+    per-request synthesis cost) and absolute-time next-arrival scheduling
+    (self-correcting — a slow submit does not push every later arrival).
+
+    Returns ``(admitted_latencies_ms, n_rejected, n_shed, n_failed, span_s)``:
+    rejected = refused at submit (Overloaded), shed = accepted then
+    deadline-shed before execution, failed = any other per-request error
+    (counted so the offered total stays honest), span = first submit ->
+    last completion (the goodput denominator: for an unbounded queue the
+    drain of the backlog lands in the span, as it should).
+    """
     from multimodal_av_model_tpu.serve import DeadlineExceeded, Overloaded
 
     lat = []
     lock = threading.Lock()
     futs = []
     rejected = 0
-    t_end = time.monotonic() + duration
-    while time.monotonic() < t_end:
-        wave = (rng.standard_normal(int(SECONDS * 16000)) * 0.1).astype(
-            np.float32)
+    t_start = time.monotonic()
+    t_next = t_start
+    t_end = t_start + duration
+    last_done = [t_start]
+    i = 0
+    while True:
+        now = time.monotonic()
+        if now >= t_end:
+            break
+        if now < t_next:
+            time.sleep(t_next - now)
         t0 = time.monotonic()
         try:
-            fut = svc.submit(wave)
+            fut = svc.submit(waves[i % len(waves)])
+
+            def done(f, t0=t0):
+                if f.exception() is None:
+                    with lock:
+                        lat.append((time.monotonic() - t0) * 1000.0)
+                        last_done[0] = time.monotonic()
+
+            fut.add_done_callback(done)
+            futs.append(fut)
         except Overloaded:
             rejected += 1
-            time.sleep(rng.exponential(1.0 / rate))
-            continue
-
-        def done(f, t0=t0):
-            if f.exception() is None:
-                with lock:
-                    lat.append((time.monotonic() - t0) * 1000.0)
-
-        fut.add_done_callback(done)
-        futs.append(fut)
-        time.sleep(rng.exponential(1.0 / rate))
-    shed = 0
+        i += 1
+        t_next += rng.exponential(1.0 / rate)
+    t_submit_end = time.monotonic()
+    shed = failed = 0
     for f in futs:
         try:
             f.result(120)
         except DeadlineExceeded:
             shed += 1
-    return lat, rejected, shed
+        except Exception:
+            failed += 1
+    with lock:
+        span = max(last_done[0], t_submit_end) - t_start
+    return lat, rejected, shed, failed, span
 
 
-def summarize(lat, n_before, stats, duration):
+def summarize(lat, n_before, stats, span):
     if not lat:
         return {"requests": 0, "achieved_rps": 0.0, "mean_batch": 0.0}
     a = np.asarray(lat)
     return {
         "requests": len(lat),
-        "achieved_rps": round(len(lat) / duration, 1),
+        # Goodput: completed requests over first-submit -> last-completion.
+        "achieved_rps": round(len(lat) / span, 1),
+        "span_s": round(span, 2),
         "p50_ms": round(float(np.percentile(a, 50)), 1),
         "p95_ms": round(float(np.percentile(a, 95)), 1),
         "p99_ms": round(float(np.percentile(a, 99)), 1),
@@ -107,6 +134,10 @@ def main():
     variables = jax.jit(model.init)(
         jax.random.PRNGKey(0), np.zeros((2, S), np.float32), None)
     rng = np.random.default_rng(0)
+    # Pre-generated wave pool: per-request cost in the generator is ~0, so
+    # the offered rate is real (see run_load docstring).
+    waves = [(rng.standard_normal(S) * 0.1).astype(np.float32)
+             for _ in range(64)]
 
     out = {"device": str(jax.devices()[0]),
            "model": "audio-only Conformer (production width)",
@@ -136,15 +167,19 @@ def main():
                  "overload_bounded": (200,)}[arm]
         for rate in rates:
             before = copy.copy(svc.batcher.stats)
-            lat, rejected, shed = run_load(svc, rate, DURATION, rng)
-            s = summarize(lat, before, svc.batcher.stats, DURATION)
+            lat, rejected, shed, failed, span = run_load(
+                svc, rate, DURATION, rng, waves)
+            s = summarize(lat, before, svc.batcher.stats, span)
+            offered = len(lat) + rejected + shed + failed
+            s["offered_rps"] = round(offered / DURATION, 1)
+            if failed:
+                s["failed"] = failed
             if arm == "overload_bounded":
-                offered = len(lat) + rejected + shed
                 s.update({
                     "offered": offered,
                     "rejected_at_submit": rejected,
                     "deadline_shed": shed,
-                    "rejection_rate": round((rejected + shed)
+                    "rejection_rate": round((rejected + shed + failed)
                                             / max(offered, 1), 3),
                     "max_queue": svc_kw["max_queue"],
                     "deadline_ms": svc_kw["deadline_ms"],
@@ -159,9 +194,13 @@ def main():
         "TCP tunnel (~0.3-0.5 s/batch); on local PCIe/ICI that term is ~ms. "
         "batched-vs-batch1 is transfer-matched per utterance. The "
         "overload_bounded arm offers 2x capacity against max_queue + "
-        "deadline: admitted p99 stays bounded and the rejection rate is "
-        "explicit, vs the unbounded batcher whose p99 diverges with queue "
-        "depth (rps_200 in `batched`).")
+        "deadline: admitted p99 stays bounded, the rejection rate is "
+        "explicit, and goodput (completions / first-submit->last-completion "
+        "span) must stay near saturated capacity — depth-bounded admission "
+        "rejects only true excess, so every service slot stays full.  The "
+        "unbounded batcher at the same offered load keeps the backlog's "
+        "drain inside its span, so its diverging queue shows up as latency, "
+        "not phantom throughput.")
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "serving_latency.json")
     with open(path, "w") as f:

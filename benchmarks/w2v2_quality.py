@@ -52,13 +52,19 @@ def make_cfg(tok, name):
     # Peak LR scales DOWN with width: 1e-3 converges at d=192
     # (quality_ceiling.json) but leaves d>=512 towers on the all-blank CTC
     # plateau for the whole budget (measured in this benchmark's first run).
+    # decay_steps must SPAN the arm's actual steps-in-budget or the cosine
+    # floor freezes the arm early (round-4 bug: the LARGE arm decayed to ~0
+    # at step 800 of 2088, so "capacity buys nothing" measured a dead LR,
+    # not capacity).  Horizons below = measured steps-in-budget from the
+    # round-4 run (production 3346, large 2088 in 240 s); the output JSON
+    # carries a schedule_spans_run check so a silent drift gets flagged.
     if name == "production_12x512":
         # The shipped default audio tower (config.py) — only the recipe
         # knobs are set, the architecture is untouched.
         cfg.train.learning_rate = 3e-4
         cfg.train.warmup_steps = 300
-        cfg.train.decay_steps = 3000
-    elif name == "w2v2_large_24x1024":
+        cfg.train.decay_steps = 3300
+    elif name in ("w2v2_large_24x1024", "w2v2_large_2x_budget"):
         cfg.model.audio.d_model = 1024
         cfg.model.audio.num_layers = 24
         cfg.model.audio.num_heads = 16
@@ -66,14 +72,15 @@ def make_cfg(tok, name):
         cfg.model.audio.output_dim = 1024
         cfg.model.audio.middle_layers = (6, 7, 8, 9)  # reference's 4-layer tap
         cfg.train.learning_rate = 1.5e-4
-        cfg.train.warmup_steps = 80
-        cfg.train.decay_steps = 800
+        cfg.train.warmup_steps = 200
+        cfg.train.decay_steps = (2100 if name == "w2v2_large_24x1024"
+                                 else 4200)
     else:
         raise ValueError(name)
     return cfg
 
 
-def run_arm(name, tok, eval_utts, refs):
+def run_arm(name, tok, eval_utts, refs, budget_s=FT_BUDGET_S):
     import jax
     import jax.numpy as jnp
 
@@ -126,13 +133,13 @@ def run_arm(name, tok, eval_utts, refs):
     float(loss)
 
     curve, spent, step, next_eval = [], 0.0, 0, EVAL_EVERY_S
-    while spent < FT_BUDGET_S:
+    while spent < budget_s:
         t0 = time.perf_counter()
         state, loss = trainer.train_step(state, train_b[step % len(train_b)])
         loss = float(loss)          # host readback = honest timing
         spent += time.perf_counter() - t0
         step += 1
-        if spent >= next_eval or spent >= FT_BUDGET_S:
+        if spent >= next_eval or spent >= budget_s:
             c = probe_cer(state)
             curve.append({"step": step, "wall_s": round(spent, 1),
                           "loss": round(loss, 4), "cer": c})
@@ -144,9 +151,17 @@ def run_arm(name, tok, eval_utts, refs):
         "ssl": {"steps": PRETRAIN_STEPS, "wall_s": round(ssl_wall, 1),
                 "final_infonce": round(ssl_state["last_loss"], 4)},
         "sec_per_step": round(spent / max(step, 1), 4),
+        "finetune_budget_s": budget_s,
         "finetune_steps_in_budget": step,
+        "decay_steps": cfg.train.decay_steps,
+        # The round-4 failure mode, made un-silent: the cosine horizon must
+        # span the run (within 35%) or the arm trained on a dead LR tail /
+        # never finished its decay.
+        "schedule_spans_run":
+            abs(step - cfg.train.decay_steps) / cfg.train.decay_steps < 0.35,
         "finetune_curve": curve,
         "final_cer": curve[-1]["cer"] if curve else None,
+        "best_cer": min(p["cer"] for p in curve) if curve else None,
     }
 
 
@@ -156,8 +171,10 @@ def main():
     refs = refs_of(eval_utts, tok)
 
     results = {}
-    for name in ("production_12x512", "w2v2_large_24x1024"):
-        results[name] = run_arm(name, tok, eval_utts, refs)
+    for name, budget in (("production_12x512", FT_BUDGET_S),
+                         ("w2v2_large_24x1024", FT_BUDGET_S),
+                         ("w2v2_large_2x_budget", 2 * FT_BUDGET_S)):
+        results[name] = run_arm(name, tok, eval_utts, refs, budget_s=budget)
 
     prod, large = results["production_12x512"], results["w2v2_large_24x1024"]
     out = {
@@ -168,13 +185,20 @@ def main():
             "eval_utterances": EVAL_UTTS,
             "decode": "greedy",
             "note": "matched FINETUNE wall-clock, not matched steps: the "
-                    "LARGE arm pays its ~5x step cost inside the same budget",
+                    "LARGE arm pays its ~5x step cost inside the same "
+                    "budget.  Every arm's cosine horizon spans its own "
+                    "steps-in-budget (schedule_spans_run per arm); the "
+                    "2x-budget LARGE arm separates capacity from budget.",
         },
         "results": results,
         "summary": {
             "cer_production": prod["final_cer"],
             "cer_large": large["final_cer"],
+            "cer_large_2x_budget":
+                results["w2v2_large_2x_budget"]["final_cer"],
             "capacity_buys": round(prod["final_cer"] - large["final_cer"], 4),
+            "schedules_ok": all(r["schedule_spans_run"]
+                                for r in results.values()),
         },
     }
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
