@@ -337,19 +337,27 @@ def run_scarcity_seed(seed: int):
     params_c = {"audio_encoder":
                 flagship_audio_params(jax.device_get(ssl_state["params"]))}
 
+    # ONE trainer for all six finetunes: each MultiSpeakerTrainer re-jits its
+    # step (no cross-instance compile cache on this backend), and a per-step
+    # _place is a synchronous tunnel transfer (~0.4 s).  Same config across
+    # arms, so the jitted step and the pre-placed batches are shared; only
+    # the init/graft differs per arm.
+    cfg_ft = make_config()
+    cfg_ft.model.decoder.vocab_size = tok.vocab_size
+    trainer = MultiSpeakerTrainer(
+        cfg_ft, MultiSpeakerAVModel(cfg_ft.model), tok)
+    ft_placed = [trainer._place(b) for b in ft_full]
+
     def finetune(graft_source, keys, batches):
-        cfg_ft = make_config()
-        cfg_ft.model.decoder.vocab_size = tok.vocab_size
-        trainer = MultiSpeakerTrainer(
-            cfg_ft, MultiSpeakerAVModel(cfg_ft.model), tok)
-        st = trainer.init_state(1 + seed, batches[0])
+        # Same init seed for scratch and SSL-init: identical starting nets
+        # except the grafted encoder (the variable under test).
+        st = trainer.init_state(1 + seed, ft_full[0])
         if graft_source is not None:
             st = st.replace(params=graft_subtree(
                 jax.device_get(st.params), graft_source, keys))
         final = best = None
         for i in range(FINETUNE_STEPS):
-            st, _ = trainer.train_step(
-                st, trainer._place(batches[i % len(batches)]))
+            st, _ = trainer.train_step(st, batches[i % len(batches)])
             if (i + 1) % EVAL_EVERY == 0:
                 _, _, c, _ = trainer.evaluate(val_batches, st, use_beam=False)
                 final = c
@@ -358,7 +366,7 @@ def run_scarcity_seed(seed: int):
 
     out = {}
     for n_b, n_utts in SCARCITY_BATCHES:
-        sub = ft_full[:n_b]
+        sub = ft_placed[:n_b]
         res = {"labeled_utterances": n_utts,
                "from_scratch": finetune(None, [], sub),
                "from_ssl": finetune(params_c, ["audio_encoder"], sub)}
