@@ -94,6 +94,10 @@ def main():
             state, metrics = trainer.train_step(
                 state, train_p[step % len(train_p)])
             step += 1
+            if step % 200 == 0:
+                # Bound async-dispatch runahead (see av_ablation.run_cell:
+                # an unsynced 1000-step stretch OOM-killed the host).
+                float(metrics["loss"])
         loss = float(metrics["loss"])   # sync once per segment
         t_train += time.time() - t0
         point = {"train_loss": round(loss, 4),
