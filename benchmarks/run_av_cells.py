@@ -2,11 +2,18 @@
 """Seed-major cell driver for av_ablation: complete every ARM at seed 0
 before spending chip time on seed 1, so a time-boxed run always yields the
 visual-marginal comparison (all arms, fewer seeds) instead of many seeds of
-one arm.  One process for the whole sweep so the jit compile is paid once.
+one arm.
+
+Each cell runs in its OWN subprocess: the axon client leaks ~35 GB of host
+mirrors per cell's resident batches (the OOM killer took a 3-cell
+in-process sweep at 130 GB), and a fresh process returns that memory at the
+cost of one re-jit (~6 min).  The per-cell cache in av_ablation_cells.json
+makes the sweep resumable either way.
 
 Usage: python benchmarks/run_av_cells.py [max_seeds]
 """
 
+import subprocess
 import sys
 
 sys.path.insert(0, __file__.rsplit("/", 1)[0])
@@ -16,18 +23,17 @@ import av_ablation as ab  # noqa: E402
 
 def main():
     max_seeds = int(sys.argv[1]) if len(sys.argv) > 1 else ab.N_SEEDS
-    cells = ab.load_cells()
     for seed in range(max_seeds):
         for arm in ab.ARMS:
-            key = f"{arm}:{seed}"
-            if key in cells:
-                print(f"=== {key} (cached) ===", flush=True)
+            if f"{arm}:{seed}" in ab.load_cells():
+                print(f"=== {arm}:{seed} (cached) ===", flush=True)
                 continue
-            print(f"=== {key} ===", flush=True)
-            cells[key] = ab.run_cell(arm, seed)
-            ab.save_cells(cells)
-            ab.aggregate(cells)   # keep the headline JSON current mid-sweep
-    ab.aggregate(cells)
+            subprocess.run(
+                [sys.executable, ab.__file__,
+                 f"--arm={arm}", f"--seed={seed}"],
+                check=True)
+            ab.aggregate(ab.load_cells())   # keep the headline JSON current
+    ab.aggregate(ab.load_cells())
 
 
 if __name__ == "__main__":
